@@ -1,0 +1,83 @@
+"""Golden tests: full LTM forward (consolidate + continuous attention) vs reference.
+
+Fixtures were traced from the reference's LongTermAttention on torch-CPU fp32
+(tools/gen_golden_ltm.py). Sticky runs replay the recorded Categorical draws so
+everything downstream of the (inherently RNG-divergent) sampling is exact.
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from infinite_video_tpu.ops import ltm
+from tests.conftest import GOLDEN_DIR
+
+
+def _params(d):
+    # torch Linear: y = x Wᵀ + b; flax Dense kernel = Wᵀ.
+    return {
+        "key": {"kernel": jnp.asarray(d["wk"].T), "bias": jnp.asarray(d["bk"])},
+        "value": {"kernel": jnp.asarray(d["wv"].T), "bias": jnp.asarray(d["bv"])},
+    }
+
+
+def _run_fixture(name, rtol=2e-4, atol=2e-5):
+    d = np.load(os.path.join(GOLDEN_DIR, name))
+    sticky = bool(d["sticky"])
+    cfg = ltm.LTMConfig(
+        num_basis=int(d["num_basis"]), chunk_len=int(d["chunk_len"]),
+        tau=float(d["tau"]), sticky=sticky,
+        tokens_per_frame=32, feature_dim=768, hidden_size=768, num_heads=12,
+    )
+    params = _params(d)
+    q = jnp.asarray(d["q"])
+    state = ltm.init_state(cfg, batch=1)
+
+    for i in range(int(d["num_chunks"])):
+        bins = None
+        if sticky and i > 0:
+            bins = jnp.asarray(d[f"bins{i-1}"].T.astype(np.int32))  # [1, S]
+        ctx, state = ltm.ltm_attend(
+            cfg, params, state, jnp.asarray(d[f"k{i}"]), q, sticky_bins=bins
+        )
+        np.testing.assert_allclose(
+            np.asarray(state.B), d[f"B{i}"], rtol=rtol, atol=atol,
+            err_msg=f"{name}: B mismatch at chunk {i}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(ctx), d[f"ctx{i}"], rtol=rtol, atol=atol,
+            err_msg=f"{name}: context mismatch at chunk {i}",
+        )
+
+
+def test_uniform_n64_l16():
+    _run_fixture("ltm_uniform_n64_l16.npz")
+
+
+def test_uniform_n256_l8():
+    _run_fixture("ltm_uniform_n256_l8.npz")
+
+
+def test_sticky_n64_l16():
+    _run_fixture("ltm_sticky_n64_l16.npz")
+
+
+def test_state_is_constant_size():
+    cfg = ltm.LTMConfig(num_basis=64, chunk_len=16)
+    s = ltm.init_state(cfg, batch=1)
+    assert s.B.shape == (1, 64, 768)
+    assert s.sticky_mass.shape == (1, 127)
+
+
+def test_sticky_mass_normalised():
+    d = np.load(os.path.join(GOLDEN_DIR, "ltm_uniform_n64_l16.npz"))
+    cfg = ltm.LTMConfig(num_basis=64, chunk_len=16, sticky=False)
+    state = ltm.init_state(cfg, batch=1)
+    ctx, state = ltm.ltm_attend(cfg, _params(d), state, jnp.asarray(d["k0"]),
+                                jnp.asarray(d["q"]))
+    m = np.asarray(state.sticky_mass)
+    assert m.shape == (1, 127)
+    np.testing.assert_allclose(m.sum(), 1.0, rtol=1e-5)
+    assert (m >= 0).all()
