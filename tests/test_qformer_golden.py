@@ -1,0 +1,85 @@
+"""Golden tests: flax QFormer vs the reference LAVIS BertModel (torch traces)."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from infinite_video_tpu.convert.qformer import convert_qformer_state_dict
+from infinite_video_tpu.models.qformer import QFormer, QFormerConfig, init_ltm_states
+from infinite_video_tpu.ops.ltm import LTMConfig
+from tests.conftest import GOLDEN_DIR
+
+
+def _load(tag):
+    d = np.load(os.path.join(GOLDEN_DIR, f"qformer_{tag}.npz"))
+    sd = dict(np.load(os.path.join(GOLDEN_DIR, f"qformer_{tag}_sd.npz")).items())
+    return d, sd
+
+
+def _make_cfg(d):
+    alpha = float(d["alpha"])
+    ltm = None
+    if alpha != 1.0:
+        ltm = LTMConfig(
+            num_basis=int(d["num_basis"]), chunk_len=int(d["chunk_len"]),
+            tokens_per_frame=32, feature_dim=768, hidden_size=768,
+            num_heads=12, tau=0.75, sticky=False,
+        )
+    return QFormerConfig(
+        num_layers=int(d["num_layers"]),
+        cross_attention_freq=int(d["freq"]),
+        encoder_width=768, alpha=alpha, ltm=ltm,
+    )
+
+
+@pytest.mark.parametrize("tag", ["video2l", "alpha1", "vc2text"])
+def test_qformer_matches_reference(tag):
+    d, sd = _load(tag)
+    cfg = _make_cfg(d)
+    params = convert_qformer_state_dict(sd)
+    model = QFormer(cfg)
+
+    query = jnp.asarray(d["query"])
+    input_ids = jnp.asarray(d["input_ids"]) if d["with_text"] else None
+    states = init_ltm_states(cfg, batch=1)
+
+    for i in range(int(d["num_chunks"])):
+        out, states = model.apply(
+            {"params": params},
+            query_embeds=query,
+            encoder_hidden_states=jnp.asarray(d[f"chunk{i}"]),
+            ltm_states=states,
+            input_ids=input_ids,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), d[f"out{i}"], rtol=3e-4, atol=3e-5,
+            err_msg=f"{tag}: hidden-state mismatch at chunk {i}",
+        )
+
+
+def test_param_tree_covers_checkpoint():
+    """Every checkpoint tensor must land in the flax tree (no silent drops)."""
+    import jax
+
+    d, sd = _load("vc2text")
+    cfg = _make_cfg(d)
+    params = convert_qformer_state_dict(sd)
+    model = QFormer(cfg)
+    ref = model.init(
+        jax.random.PRNGKey(0),
+        query_embeds=jnp.asarray(d["query"]),
+        encoder_hidden_states=jnp.asarray(d["chunk0"]),
+        ltm_states=init_ltm_states(cfg, 1),
+        input_ids=jnp.asarray(d["input_ids"]),
+    )["params"]
+    ref_paths = {jax.tree_util.keystr(p) for p, _ in
+                 jax.tree_util.tree_flatten_with_path(ref)[0]}
+    got_paths = {jax.tree_util.keystr(p) for p, _ in
+                 jax.tree_util.tree_flatten_with_path(params)[0]}
+    # cls head lives in a separate module; ignore it on the torch side.
+    missing = ref_paths - got_paths
+    assert not missing, f"converter missed params: {sorted(missing)[:10]}"
+    extra = got_paths - ref_paths
+    assert not extra, f"converter produced unknown params: {sorted(extra)[:10]}"
