@@ -1,0 +1,223 @@
+"""Vision transformers: EVA-CLIP ViT-g/14 and UMT ViT-L/16, one implementation.
+
+Covers the reference's two encoders with a shared block:
+  - EVA-CLIP ViT-g/14 (infty-Video-LLaMA/InfVideoLLaMA/models/eva_vit.py:388-423):
+    patch 14, d=1408, depth 39, 16 heads, mlp 4.3637, cls token, learned abs
+    pos-embed, q/v-only qkv bias, no final LN (BLIP-2 applies an fp32 LN outside).
+  - UMT ViT-L/16 (infty-VideoChat2/models/blip2/vit.py:244-440): patch 16,
+    d=1024, depth 24 (+return_index truncation), 16 heads, no cls token,
+    fixed sinusoid space-time pos-embed, optional final LN, tubelet 1.
+
+TPU-native choices: NHWC image layout, bf16-friendly compute dtype with fp32
+LayerNorms, patch embedding expressed as a reshaped matmul (MXU) rather than
+a conv, `jax.checkpoint`-compatible plain-function blocks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+__all__ = ["ViTConfig", "VisionTransformer", "eva_vit_g_config", "umt_vit_l_config",
+           "sinusoid_table", "interpolated_sinusoid_table"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    img_size: int = 224
+    patch_size: int = 14
+    embed_dim: int = 1408
+    depth: int = 39
+    num_heads: int = 16
+    mlp_hidden: int = 6144            # int(embed_dim * mlp_ratio)
+    use_cls_token: bool = True
+    pos_embed: str = "learned"        # "learned" | "sinusoid"
+    num_frames: int = 1               # >1 ⇒ video model (UMT, joint space-time attn)
+    ckpt_num_frame: int = -1          # pretrained table frame count (UMT: 4)
+    final_ln: bool = False
+    layer_norm_eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def grid(self) -> int:
+        return self.img_size // self.patch_size
+
+    @property
+    def tokens_per_frame(self) -> int:
+        return self.grid * self.grid
+
+    @property
+    def num_tokens(self) -> int:
+        return self.tokens_per_frame * self.num_frames + (1 if self.use_cls_token else 0)
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+
+def eva_vit_g_config(img_size: int = 224, dtype=jnp.float32) -> ViTConfig:
+    """create_eva_vit_g (eva_vit.py:388-400): mlp_hidden = int(1408*4.3637) = 6144."""
+    return ViTConfig(img_size=img_size, patch_size=14, embed_dim=1408, depth=39,
+                     num_heads=16, mlp_hidden=int(1408 * 4.3637), use_cls_token=True,
+                     pos_embed="learned", final_ln=False, dtype=dtype)
+
+
+def umt_vit_l_config(img_size: int = 224, num_frames: int = 16, depth: int = 24,
+                     ckpt_num_frame: int = 4, dtype=jnp.float32) -> ViTConfig:
+    """build_vit defaults (vit.py:408-427, configs/config_mistral.json:15-29):
+    ViT-L/16, d=1024, 16 heads, mlp 4096, return_index=-1 keeps all 24 blocks,
+    pretrained with 4-frame sinusoid tables."""
+    return ViTConfig(img_size=img_size, patch_size=16, embed_dim=1024, depth=depth,
+                     num_heads=16, mlp_hidden=4096, use_cls_token=False,
+                     pos_embed="sinusoid", num_frames=num_frames,
+                     ckpt_num_frame=ckpt_num_frame, final_ln=True, dtype=dtype)
+
+
+def sinusoid_table(n_position: int, d_hid: int) -> np.ndarray:
+    """Classic sin/cos table [1, n_position, d_hid] (vit.py:163-176)."""
+    pos = np.arange(n_position, dtype=np.float64)[:, None]
+    i = np.arange(d_hid, dtype=np.float64)[None, :]
+    angle = pos / np.power(10000.0, 2 * (i // 2) / d_hid)
+    table = np.zeros((n_position, d_hid), dtype=np.float64)
+    table[:, 0::2] = np.sin(angle[:, 0::2])
+    table[:, 1::2] = np.cos(angle[:, 1::2])
+    return table[None].astype(np.float32)
+
+
+def interpolated_sinusoid_table(n_position: int, d_hid: int, cur_frame: int,
+                                ckpt_num_frame: int) -> np.ndarray:
+    """Temporal interpolation of the pretrained table (vit.py:163-196).
+
+    The UMT checkpoint was trained with `ckpt_num_frame` frames; for longer
+    clips the reference builds the table at the checkpoint frame count and
+    linearly interpolates along time. Mirrors get_sinusoid_encoding_table.
+    """
+    if ckpt_num_frame != -1 and cur_frame != ckpt_num_frame:
+        spatial = n_position // cur_frame
+        base = sinusoid_table(spatial * ckpt_num_frame, d_hid)      # [1, T0*S, d]
+        t = base.reshape(1, ckpt_num_frame, spatial, d_hid)
+        t = np.transpose(t, (0, 3, 1, 2))                           # [1, d, T0, S]
+        # linear interpolation along time to cur_frame (torch F.interpolate,
+        # mode='linear' on the flattened [1*d*S, T0] view per reference)
+        x_new = np.linspace(0, ckpt_num_frame - 1, cur_frame)
+        # torch linear interpolate uses align_corners=False semantics:
+        scale = ckpt_num_frame / cur_frame
+        x_new = np.maximum(0, np.minimum(ckpt_num_frame - 1,
+                                         (np.arange(cur_frame) + 0.5) * scale - 0.5))
+        lo = np.floor(x_new).astype(int)
+        hi = np.minimum(lo + 1, ckpt_num_frame - 1)
+        w = (x_new - lo)[None, None, :, None]
+        out = t[:, :, lo, :] * (1 - w) + t[:, :, hi, :] * w         # [1, d, T, S]
+        out = np.transpose(out, (0, 2, 3, 1)).reshape(1, n_position, d_hid)
+        return out.astype(np.float32)
+    return sinusoid_table(n_position, d_hid)
+
+
+class ViTAttention(nn.Module):
+    """Fused-qkv attention with q/v-only bias (eva_vit.py:62-146, vit.py:57-101)."""
+
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        d = cfg.embed_dim
+        qkv = nn.Dense(3 * d, use_bias=False, dtype=cfg.dtype, name="qkv")(x)
+        q_bias = self.param("q_bias", nn.initializers.zeros, (d,))
+        v_bias = self.param("v_bias", nn.initializers.zeros, (d,))
+        bias = jnp.concatenate([q_bias, jnp.zeros_like(q_bias), v_bias])
+        qkv = qkv + bias.astype(qkv.dtype)
+
+        b, s, _ = x.shape
+        qkv = qkv.reshape(b, s, 3, cfg.num_heads, cfg.head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]      # [b, s, h, hd]
+        q = q * (cfg.head_dim ** -0.5)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, s, d)
+        return nn.Dense(d, dtype=cfg.dtype, name="proj")(out)
+
+
+class ViTBlock(nn.Module):
+    """Pre-LN block; the ∞-Video configs never use layerscale (init_values=0)."""
+
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="norm1")(x)
+        x = x + ViTAttention(cfg, name="attn")(h)
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="norm2")(x)
+        h = nn.Dense(cfg.mlp_hidden, dtype=cfg.dtype, name="fc1")(h)
+        h = jax.nn.gelu(h, approximate=False)
+        h = nn.Dense(cfg.embed_dim, dtype=cfg.dtype, name="fc2")(h)
+        return x + h
+
+
+class VisionTransformer(nn.Module):
+    """Shared EVA / UMT trunk.
+
+    Input: [B, H, W, C] images (or [B, T, H, W, C] video for UMT); output:
+    [B, tokens, embed_dim] (video: tokens = T * tokens_per_frame; the VC2
+    wrapper reshapes to [B, T, L, C] itself, vit.py:399-406).
+    """
+
+    cfg: ViTConfig
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, pixels: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        if pixels.ndim == 5:
+            # Video [B, T, H, W, C]: tokens of all frames form ONE sequence —
+            # UMT runs joint space-time attention (vit.py:301-321).
+            b, t = pixels.shape[:2]
+            pixels = pixels.reshape((b * t,) + pixels.shape[2:])
+        else:
+            b, t = pixels.shape[0], 1
+
+        # Patch embedding as a single matmul over p×p×C patch vectors
+        # (equivalent to the reference's strided conv, MXU-friendly).
+        p = cfg.patch_size
+        bt, hgt, wid, c = pixels.shape
+        g = hgt // p
+        x = pixels.reshape(bt, g, p, g, p, c).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(bt, g * g, p * p * c).astype(cfg.dtype)
+        x = nn.Dense(cfg.embed_dim, dtype=cfg.dtype, name="patch_embed")(x)
+        if t > 1:
+            x = x.reshape(b, t * cfg.tokens_per_frame, cfg.embed_dim)
+
+        if cfg.use_cls_token:
+            cls = self.param("cls_token", nn.initializers.zeros, (1, 1, cfg.embed_dim))
+            x = jnp.concatenate([jnp.tile(cls.astype(x.dtype), (x.shape[0], 1, 1)), x],
+                                axis=1)
+
+        if cfg.pos_embed == "learned":
+            pos = self.param("pos_embed", nn.initializers.zeros,
+                             (1, cfg.tokens_per_frame + int(cfg.use_cls_token),
+                              cfg.embed_dim))
+            x = x + pos.astype(x.dtype)
+        else:
+            # Fixed sinusoid space-time table, temporally interpolated from the
+            # checkpoint's frame count (vit.py:163-196,301-312).
+            table = jnp.asarray(interpolated_sinusoid_table(
+                t * cfg.tokens_per_frame, cfg.embed_dim, cur_frame=t,
+                ckpt_num_frame=cfg.ckpt_num_frame))
+            x = x + table.astype(x.dtype)
+
+        block = ViTBlock
+        if self.remat:
+            block = nn.remat(ViTBlock)
+        for i in range(cfg.depth):
+            x = block(cfg, name=f"block_{i}")(x)
+
+        if cfg.final_ln:
+            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="norm")(x)
+        return x
