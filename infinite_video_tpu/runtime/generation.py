@@ -1,0 +1,126 @@
+"""Autoregressive generation: prefill + jitted decode loop with stop sequences.
+
+Replaces the reference's HF `generate` calls
+(conversation_video.py:156-167 — sampling with stop words "###" ids [835] and
+[2277, 29937]; eval_code/run_nextqa_mistral.py:278-299 — greedy). The decode
+loop is a `lax.while_loop` over a static-shape KV cache, so one compilation
+serves every question of an eval run.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from infinite_video_tpu.models.decoder import Decoder, DecoderConfig, KVCache, init_kv_cache
+
+__all__ = ["GenerationConfig", "generate"]
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerationConfig:
+    max_new_tokens: int = 300
+    do_sample: bool = False
+    temperature: float = 1.0
+    top_p: float = 0.9
+    eos_token_id: int = 2
+    pad_token_id: int = 0
+    # Stop sequences as token-id tuples; reference uses "###" ids
+    # (conversation_video.py:142-144).
+    stop_sequences: Tuple[Tuple[int, ...], ...] = ()
+
+
+def _sample_top_p(key, logits: jnp.ndarray, temperature: float, top_p: float):
+    logits = logits / jnp.maximum(temperature, 1e-6)
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(sorted_probs, axis=-1)
+    # keep the smallest set with cumulative prob >= top_p (HF convention:
+    # tokens whose *preceding* cumulative mass < top_p are kept)
+    cutoff_mask = (cum - sorted_probs) < top_p
+    threshold = jnp.min(jnp.where(cutoff_mask, sorted_logits, jnp.inf), axis=-1,
+                        keepdims=True)
+    filtered = jnp.where(logits >= threshold, logits, -jnp.inf)
+    return jax.random.categorical(key, filtered, axis=-1)
+
+
+def _next_token(key, logits, cfg: GenerationConfig):
+    if cfg.do_sample:
+        return _sample_top_p(key, logits, cfg.temperature, cfg.top_p)
+    return jnp.argmax(logits, axis=-1)
+
+
+def _hits_stop(tokens: jnp.ndarray, t: jnp.ndarray, stop: Tuple[int, ...]) -> jnp.ndarray:
+    """True where the stop id sequence ends at position t of `tokens` [B, T]."""
+    hit = jnp.ones(tokens.shape[0], bool)
+    for j, sid in enumerate(reversed(stop)):
+        idx = t - j
+        ok = (idx >= 0) & (tokens[:, jnp.maximum(idx, 0)] == sid)
+        hit &= ok
+    return hit
+
+
+def generate(
+    model: Decoder,
+    params,
+    cfg: GenerationConfig,
+    *,
+    prompt_embeds: Optional[jnp.ndarray] = None,   # [B, S, D]
+    prompt_ids: Optional[jnp.ndarray] = None,      # [B, S]
+    prompt_mask: Optional[jnp.ndarray] = None,     # [B, S] 0/1
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Returns generated token ids [B, max_new_tokens] (pad after stop/EOS)."""
+    dcfg: DecoderConfig = model.cfg
+    if prompt_embeds is None:
+        prompt_embeds = model.apply({"params": params}, input_ids=prompt_ids,
+                                    embed_only=True)
+    b, s, _ = prompt_embeds.shape
+    max_len = s + cfg.max_new_tokens
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    cache = init_kv_cache(dcfg, b, max_len)
+    buffer_mask = jnp.zeros((b, max_len))
+    if prompt_mask is None:
+        prompt_mask = jnp.ones((b, s))
+    buffer_mask = jax.lax.dynamic_update_slice(buffer_mask,
+                                               prompt_mask.astype(jnp.float32), (0, 0))
+
+    logits, cache = model.apply({"params": params}, inputs_embeds=prompt_embeds,
+                                attention_mask=buffer_mask, cache=cache)
+    rng, sub = jax.random.split(rng)
+    first = _next_token(sub, logits[:, -1], cfg)
+
+    tokens = jnp.full((b, cfg.max_new_tokens), cfg.pad_token_id, jnp.int32)
+    tokens = tokens.at[:, 0].set(first.astype(jnp.int32))
+
+    def cond(state):
+        t, _, _, done, _, _ = state
+        return (t < cfg.max_new_tokens - 1) & ~jnp.all(done)
+
+    def body(state):
+        t, tokens, cache, done, mask, rng = state
+        mask = mask.at[:, s + t].set(1.0)
+        logits, cache = model.apply({"params": params},
+                                    input_ids=tokens[:, t][:, None],
+                                    attention_mask=mask, cache=cache)
+        rng, sub = jax.random.split(rng)
+        nxt = _next_token(sub, logits[:, -1], cfg).astype(jnp.int32)
+        nxt = jnp.where(done, cfg.pad_token_id, nxt)
+        tokens = tokens.at[:, t + 1].set(nxt)
+        newly_done = nxt == cfg.eos_token_id
+        for stop in cfg.stop_sequences:
+            newly_done |= _hits_stop(tokens, t + 1, stop)
+        return t + 1, tokens, cache, done | newly_done, mask, rng
+
+    done0 = (first == cfg.eos_token_id)
+    for stop in cfg.stop_sequences:
+        done0 |= _hits_stop(tokens, jnp.asarray(0), stop)
+    state = (jnp.asarray(0), tokens, cache, done0, buffer_mask, rng)
+    _, tokens, _, _, _, _ = jax.lax.while_loop(cond, body, state)
+    return tokens
