@@ -1,0 +1,47 @@
+"""Streaming chunk loop: `lax.scan` with the LTM state as carry.
+
+This is the TPU-native replacement for the reference's python-level chunk
+loops (eval_code/eval/run_inference_inf_video_llama_nextqa.py:184-194,
+eval_code/run_nextqa_mistral.py:141-152): the whole multi-chunk encode of a
+video compiles to one XLA program with constant HBM footprint, and the
+per-chunk embeddings are mean-pooled exactly as the eval protocol does.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["stream_chunks", "stream_mean_embedding"]
+
+
+def stream_chunks(
+    encode_chunk: Callable,
+    init_states,
+    chunks: jnp.ndarray,          # [num_chunks, B, ...] stacked chunk inputs
+    rng: Optional[jax.Array] = None,
+):
+    """Scan `encode_chunk(chunk, states, rng) -> (emb, states)` over chunks.
+
+    Returns (per-chunk embeddings [num_chunks, ...], final states).
+    """
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    def step(carry, chunk):
+        states, key = carry
+        key, sub = jax.random.split(key)
+        emb, states = encode_chunk(chunk, states, sub)
+        return (states, key), emb
+
+    (final_states, _), embs = jax.lax.scan(step, (init_states, rng), chunks)
+    return embs, final_states
+
+
+def stream_mean_embedding(encode_chunk, init_states, chunks, rng=None):
+    """Per-chunk encode + mean over chunks (the reference eval protocol:
+    run_inference_inf_video_llama_nextqa.py:194, run_nextqa_mistral.py:152)."""
+    embs, final_states = stream_chunks(encode_chunk, init_states, chunks, rng)
+    return jnp.mean(embs, axis=0), final_states
