@@ -46,6 +46,11 @@ from infinite_video_tpu.ops.basis import rectangular_basis
 __all__ = ["LTMConfig", "LTMState", "init_state", "ltm_attend", "consolidate",
            "continuous_attention"]
 
+# The LTM is the numerical-parity-critical path: pin fp32 MXU passes so TPU
+# results match the CPU/torch reference (costs ~11% on this latency-bound
+# path; measured in bench.py).
+_PREC = jax.lax.Precision.HIGHEST
+
 
 @dataclasses.dataclass(frozen=True)
 class LTMConfig:
@@ -192,19 +197,19 @@ def consolidate(
     )
 
     def first_chunk(_key):
-        B = jnp.einsum("bel,ln->bne", x, G)
+        B = jnp.einsum("bel,ln->bne", x, G, precision=_PREC)
         return B
 
     def update(key):
         if cfg.sticky:
             samples = _sticky_resample(cfg, state, key, sticky_bins)  # [batch, S, N]
-            xm_tau = jnp.einsum("bne,bsn->bes", state.B, samples)
+            xm_tau = jnp.einsum("bne,bsn->bes", state.B, samples, precision=_PREC)
         else:
             U = jnp.asarray(gmatrix.uniform_resample_psi(cfg.num_basis, cfg.nb_samples,
                                                          cfg.tau, cfg.basis))  # [S, N]
-            xm_tau = jnp.einsum("bne,sn->bes", state.B, U)
+            xm_tau = jnp.einsum("bne,sn->bes", state.B, U, precision=_PREC)
         x_cat = jnp.concatenate([xm_tau, x], axis=2)             # [batch, e, S+L]
-        return jnp.einsum("bel,ln->bne", x_cat, G_inf)
+        return jnp.einsum("bel,ln->bne", x_cat, G_inf, precision=_PREC)
 
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -226,7 +231,7 @@ def _gibbs_density(z: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """
     z = z - jax.lax.stop_gradient(jnp.max(z, axis=-1, keepdims=True))
     ez = jnp.exp(z)
-    Z = jnp.einsum("...t,t->...", ez, w)[..., None]
+    Z = jnp.einsum("...t,t->...", ez, w, precision=_PREC)[..., None]
     return ez / Z
 
 
@@ -257,13 +262,13 @@ def continuous_attention(
     vh = values.reshape(b, n, h, d).transpose(0, 2, 1, 3)   # [b,h,N,d]
 
     # z(t): [b,h,Q,T]
-    k_psi = jnp.einsum("bhnd,tn->bhtd", kh, psi_t)
-    z = jnp.einsum("bhqd,bhtd->bhqt", qh, k_psi)
+    k_psi = jnp.einsum("bhnd,tn->bhtd", kh, psi_t, precision=_PREC)
+    z = jnp.einsum("bhqd,bhtd->bhqt", qh, k_psi, precision=_PREC)
     p = _gibbs_density(z, w)
 
     # I = ∫ p(t) ψ(t) dt : [b,h,Q,N]; context = I·V.
-    integral = jnp.einsum("bhqt,t,tn->bhqn", p, w, psi_t)
-    ctx = jnp.einsum("bhqn,bhnd->bhqd", integral, vh)
+    integral = jnp.einsum("bhqt,t,tn->bhqn", p, w, psi_t, precision=_PREC)
+    ctx = jnp.einsum("bhqn,bhnd->bhqd", integral, vh, precision=_PREC)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, q_len, hidden)
 
     # Sticky bin masses of *this* chunk's density, consumed by the next
@@ -273,8 +278,8 @@ def continuous_attention(
     edges, psi_e = _sticky_edges_psi(cfg)
     edges = jnp.asarray(edges)
     psi_e = jnp.asarray(psi_e)
-    k_psi_e = jnp.einsum("bhnd,tn->bhtd", kh, psi_e)         # [b,h,129,d]
-    z_e = jnp.einsum("bhqd,bhtd->bhqt", qh, k_psi_e)         # [b,h,Q,129]
+    k_psi_e = jnp.einsum("bhnd,tn->bhtd", kh, psi_e, precision=_PREC)         # [b,h,129,d]
+    z_e = jnp.einsum("bhqd,bhtd->bhqt", qh, k_psi_e, precision=_PREC)         # [b,h,Q,129]
     de = jnp.diff(edges)                                     # [128]
     w_e = jnp.zeros_like(edges).at[:-1].add(de / 2).at[1:].add(de / 2)
     p_e = _gibbs_density(z_e, w_e)                           # [b,h,Q,129]
@@ -308,8 +313,10 @@ def ltm_attend(
     x = pool_frames(cfg, enc_hidden)                          # [B, e, L]
     B = consolidate(cfg, state, x, key, sticky_bins)          # [B, N, e]
 
-    keys = B @ params["key"]["kernel"] + params["key"]["bias"]
-    values = B @ params["value"]["kernel"] + params["value"]["bias"]
+    keys = jnp.einsum("bne,eh->bnh", B, params["key"]["kernel"],
+                      precision=_PREC) + params["key"]["bias"]
+    values = jnp.einsum("bne,eh->bnh", B, params["value"]["kernel"],
+                        precision=_PREC) + params["value"]["bias"]
 
     ctx, mass = continuous_attention(cfg, queries.astype(jnp.float32), keys, values)
     new_state = LTMState(B=B, sticky_mass=mass, step=state.step + 1)
