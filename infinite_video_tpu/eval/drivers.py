@@ -1,0 +1,265 @@
+"""Benchmark eval drivers: NExT-QA, EgoSchema, Video-MME (± subtitles),
+MovieChat-1K global mode, NExT-OE.
+
+Each driver is a `run_*` function over a `LLaMAVideoQA`/`MistralVideoQA`
+engine plus a frame source, with the reference's resumable predictions-JSON
+protocol (eval/protocol.py). Dataset formats follow the reference loaders:
+  - NExT-QA / EgoSchema multiple-choice CSV in IG-VLM layout
+    (run_nextqa_mistral.py:490-534: columns [video, …, question@4, answer@5,
+    qid@6, …, candidates 8:])
+  - Video-MME JSON with per-question duration category and optional .vtt
+    subtitles (run_videomme_mistral.py:84-127,214-226)
+  - MovieChat-1K per-movie "global" QA JSON lists
+    (run_inference_inf_video_llama_moviechat.py:226-254)
+
+Frame sources are callables `video_name -> chunks [C, 1, T, H, W, 3]` so the
+same driver runs from raw video (data/video_reader.py) or precomputed frame
+tensors (the reference's .pt path, run_inference_inf_video_llama_nextqa.py:218-229).
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+import re
+from typing import Callable, Dict, Iterable, List, Optional
+
+from infinite_video_tpu.eval.metrics import (eval_qa_egoschema, eval_qa_nextqa,
+                                             eval_qa_videomme)
+from infinite_video_tpu.eval.protocol import PredictionStore
+
+__all__ = ["load_igvlm_csv", "run_nextqa_mistral", "run_nextqa_llama",
+           "run_egoschema", "run_videomme", "run_moviechat_global",
+           "MC_SYSTEM_PROMPT", "check_answer_option"]
+
+# run_nextqa_mistral.py:563-566
+MC_SYSTEM_PROMPT = (
+    "Carefully watch the video and pay attention to the cause and sequence of "
+    "events, the detail and movement of objects, and the action and pose of "
+    "persons. Based on your observations, select the best option that "
+    "accurately addresses the question.\n"
+)
+
+
+def load_igvlm_csv(path: str) -> List[Dict]:
+    """IG-VLM multiple-choice CSV -> [{video, qid, question, answer, options}]."""
+    out = []
+    with open(path, encoding="utf-8") as f:
+        reader = csv.reader(f)
+        for idx, msg in enumerate(reader):
+            if idx == 0:
+                continue
+            q = f"Question: {msg[4].capitalize()}\nOptions:\n"
+            for i, cand in enumerate(msg[8:]):
+                q += f"({chr(ord('A') + i)}) {cand}\n"
+            target = int(msg[5])
+            out.append({
+                "video": msg[0] + ".mp4",
+                "qid": f"{msg[0]}_{msg[6]}",
+                "question": q.strip(),
+                "answer": f"({chr(ord('A') + target)})",
+                "answer_content": msg[8 + target],
+            })
+    return out
+
+
+def check_answer_option(pred: str, answer: str, content: str) -> int:
+    """Lenient option matching (run_nextqa_mistral.py:181-200)."""
+    content = content.lower().rstrip(".")
+    pl = pred.lower()
+    if answer.lower() in pl:
+        for kk in ["(a)", "(b)", "(c)", "(d)", "(e)"]:
+            if kk != answer.lower() and kk in pl:
+                return 0
+        return 1
+    if (content in pl or content.replace("a ", "") in pl
+            or content.replace("an ", "") in pl):
+        return 1
+    return 0
+
+
+def _mc_question_loop(engine, samples, frame_source, store: PredictionStore,
+                      *, system: str, question_prompt: str, answer_prompt: str,
+                      return_prompt: str, progress: Optional[Callable] = None):
+    for i, s in enumerate(samples):
+        if s["qid"] in store:
+            continue
+        chunks = frame_source(s["video"])
+        emb = engine.encode_video(chunks, system=system) \
+            if hasattr(engine, "qformer_tokenizer") else engine.encode_video(chunks)
+        if hasattr(engine, "qformer_tokenizer"):
+            pred = engine.answer(emb, s["question"], system=system,
+                                 question_prompt=question_prompt,
+                                 answer_prompt=answer_prompt,
+                                 return_prompt=return_prompt)
+        else:
+            pred = engine.answer(emb, s["question"] + question_prompt)
+        store.record(s["qid"], {"answer": s["answer"], "pred": pred,
+                                "content": s.get("answer_content", "")})
+        if progress:
+            progress(i, len(samples), s["qid"], pred)
+
+
+def run_nextqa_mistral(engine, anno_csv: str, frame_source, out_path: str,
+                       progress=None) -> Dict:
+    """∞-VideoChat2 NExT-QA MC protocol (run_nextqa_mistral.py:536-611)."""
+    samples = load_igvlm_csv(anno_csv)
+    store = PredictionStore(out_path)
+    _mc_question_loop(engine, samples, frame_source, store,
+                      system=MC_SYSTEM_PROMPT,
+                      question_prompt="\nOnly give the best option.",
+                      answer_prompt="Best option:(", return_prompt="(",
+                      progress=progress)
+    rows = [{"video": s["qid"].rsplit("_", 1)[0], "qid": s["qid"].rsplit("_", 1)[1],
+             "type": s.get("type", "DO")} for s in samples]
+    stats = eval_qa_nextqa(rows, store.data)
+    store.finalize(stats)
+    return stats
+
+
+def run_nextqa_llama(engine, anno_csv: str, frame_source, out_path: str,
+                     progress=None) -> Dict:
+    """∞-Video-LLaMA NExT-QA open-ended protocol
+    (run_inference_inf_video_llama_nextqa.py:253-280): record raw generations
+    for the GPT-judge / option-matching stage."""
+    store = PredictionStore(out_path)
+    with open(anno_csv, encoding="utf-8") as f:
+        rows = list(csv.DictReader(f))
+    for i, row in enumerate(rows):
+        key = f"{row['video']}_{row.get('qid', i)}"
+        if key in store:
+            continue
+        chunks = frame_source(str(row["video"]))
+        emb = engine.encode_video(chunks)
+        pred = engine.answer(emb, row["question"])
+        store.record(key, {"question": row["question"],
+                           "answer": row.get("answer", ""), "pred": pred})
+        if progress:
+            progress(i, len(rows), key, pred)
+    store.finalize()
+    return store.data
+
+
+def run_egoschema(engine, anno_csv: str, frame_source, out_path: str,
+                  progress=None) -> Dict:
+    """EgoSchema MC; accuracy via exact-option matching; predictions JSON is
+    also the official-server submission payload ({qid: option_index},
+    validate/egoschema_acc.py:16-25)."""
+    samples = load_igvlm_csv(anno_csv)
+    store = PredictionStore(out_path)
+    _mc_question_loop(engine, samples, frame_source, store,
+                      system=MC_SYSTEM_PROMPT,
+                      question_prompt="\nOnly give the best option.",
+                      answer_prompt="Best option:(", return_prompt="(",
+                      progress=progress)
+    data = {}
+    for s in samples:
+        rec = store.get(s["qid"])
+        if rec is None:
+            continue
+        m = re.match(r"\((\w)\)", rec["pred"])
+        data[s["qid"]] = {
+            "answer": ord(s["answer"][1]) - ord("A"),
+            "prediction": (ord(m.group(1).upper()) - ord("A")) if m else -1,
+        }
+    stats = eval_qa_egoschema(data)
+    store.finalize(stats)
+    return stats
+
+
+def egoschema_submission(preds: Dict) -> Dict[str, int]:
+    """{qid: predicted option index} for the validation server POST."""
+    return {k: v["prediction"] for k, v in preds.items()
+            if isinstance(v, dict) and "prediction" in v}
+
+
+def read_vtt_subtitles(path: str, max_len: int = 4096,
+                       token_len: Callable = len) -> str:
+    """Concatenate .vtt cue text; if too long keep the head and tail halves
+    (run_videomme_mistral.py:84-127)."""
+    lines = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if (not line or line.startswith("WEBVTT") or "-->" in line
+                    or line.isdigit()):
+                continue
+            lines.append(line)
+    full = " ".join(lines)
+    if token_len(full) <= max_len:
+        return full
+    half = len(lines) // 2
+    while half > 1 and token_len(" ".join(lines[:half]) + " ".join(lines[-half:])) > max_len:
+        half //= 2
+    return " ".join(lines[:half]) + " " + " ".join(lines[-half:])
+
+
+def run_videomme(engine, anno_json: str, frame_source, out_path: str, *,
+                 subtitle_dir: Optional[str] = None, max_subtitle_len: int = 4096,
+                 progress=None) -> Dict:
+    """Video-MME MC with per-duration accuracy and optional subtitles."""
+    with open(anno_json, encoding="utf-8") as f:
+        samples = json.load(f)
+    store = PredictionStore(out_path)
+    for i, s in enumerate(samples):
+        qid = str(s.get("question_id", i))
+        if qid in store:
+            continue
+        sub = ""
+        if subtitle_dir:
+            vtt = os.path.join(subtitle_dir, s["videoID"] + ".vtt")
+            if os.path.exists(vtt):
+                sub = read_vtt_subtitles(vtt, max_subtitle_len)
+        question = s["question"] + "\n" + "\n".join(s["options"])
+        system = MC_SYSTEM_PROMPT
+        if sub:
+            system = f"Subtitles: {sub}\n" + system
+        chunks = frame_source(s["videoID"])
+        emb = engine.encode_video(chunks, system=system) \
+            if hasattr(engine, "qformer_tokenizer") else engine.encode_video(chunks)
+        if hasattr(engine, "qformer_tokenizer"):
+            pred = engine.answer(emb, question, system=system,
+                                 question_prompt="\nOnly give the best option.",
+                                 answer_prompt="Best option:(", return_prompt="(")
+        else:
+            pred = engine.answer(emb, question)
+        m = re.match(r"\((\w)\)", pred)
+        store.record(qid, {
+            "answer": s["answer"], "pred": pred,
+            "prediction": m.group(1).upper() if m else -1,
+            "duration": s.get("duration_category", s.get("duration", "unknown")),
+        })
+        if progress:
+            progress(i, len(samples), qid, pred)
+    stats = eval_qa_videomme(store.data)
+    store.finalize(stats)
+    return stats
+
+
+def run_moviechat_global(engine, anno_dir: str, frame_source, out_path: str,
+                         progress=None) -> Dict:
+    """MovieChat-1K global mode: every movie has a JSON with a `global` QA
+    list (run_inference_inf_video_llama_moviechat.py:226-254); answers are
+    open-ended and scored downstream by the GPT judge."""
+    store = PredictionStore(out_path)
+    files = sorted(f for f in os.listdir(anno_dir) if f.endswith(".json"))
+    for i, fname in enumerate(files):
+        with open(os.path.join(anno_dir, fname), encoding="utf-8") as f:
+            meta = json.load(f)
+        video = meta.get("info", {}).get("video_path", fname.replace(".json", ".mp4"))
+        chunks = None
+        for j, qa in enumerate(meta.get("global", [])):
+            key = f"{fname}_{j}"
+            if key in store:
+                continue
+            if chunks is None:
+                chunks = frame_source(video)
+                emb = engine.encode_video(chunks)
+            pred = engine.answer(emb, qa["question"])
+            store.record(key, {"question": qa["question"],
+                               "answer": qa.get("answer", ""), "pred": pred})
+        if progress:
+            progress(i, len(files), fname, "")
+    store.finalize()
+    return store.data

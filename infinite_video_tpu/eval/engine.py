@@ -1,0 +1,166 @@
+"""Video-QA inference engines: the per-question protocol of the eval drivers.
+
+Two engines mirroring the two reference sub-projects:
+  - `LLaMAVideoQA` — ∞-Video-LLaMA protocol
+    (eval_code/eval/run_inference_inf_video_llama_nextqa.py:109-196): chunked
+    streaming encode → mean video embedding → fixed prompt
+    "You are able to understand…###Human: <Video><ImageHere></Video>{q}###Assistant:"
+    → sampled decode with "###" stop ids.
+  - `MistralVideoQA` — ∞-VideoChat2 protocol
+    (eval_code/run_nextqa_mistral.py:125-313): per-chunk `encode_img` with the
+    system text in the Q-former → mean embedding → "[INST] <Video>… [/INST]"
+    prompt with an answer_prompt suffix ("Best option:(") → greedy decode with
+    "</s>" stop ids.
+
+Both engines jit their encode and reuse the compiled computation across every
+question of a run (chunk geometry is static per run).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from infinite_video_tpu.runtime.generation import GenerationConfig, generate
+from infinite_video_tpu.runtime.streaming import stream_mean_embedding
+
+__all__ = ["LLaMAVideoQA", "MistralVideoQA"]
+
+_LLAMA_SYSTEM = (
+    "You are able to understand the visual content that the user provides."
+    "Follow the instructions carefully and explain your brief answers with "
+    "no more than 20 words.###Human: <Video><ImageHere></Video>"
+)
+
+
+class LLaMAVideoQA:
+    def __init__(self, encoder, enc_params, decoder, dec_params, tokenizer,
+                 init_states: Callable):
+        self.encoder = encoder
+        self.enc_params = enc_params
+        self.decoder = decoder
+        self.dec_params = dec_params
+        self.tokenizer = tokenizer
+        self.init_states = init_states
+
+        @jax.jit
+        def _encode(enc_params, chunks, rng):
+            def enc(chunk, states, key):
+                return encoder.apply({"params": enc_params}, chunk, states,
+                                     ltm_rng=key)
+            return stream_mean_embedding(enc, init_states(chunks.shape[1]),
+                                         chunks, rng)[0]
+
+        self._encode = _encode
+
+    def encode_video(self, chunks: jnp.ndarray, rng=None) -> jnp.ndarray:
+        """chunks: [C, B, T, H, W, 3] -> mean video embedding [B, Q, llm_dim]."""
+        return self._encode(self.enc_params,
+                            jnp.asarray(chunks),
+                            rng if rng is not None else jax.random.PRNGKey(0))
+
+    def _embed_segments(self, segments: Sequence[str], video_embs):
+        segs = []
+        for i, seg in enumerate(segments):
+            ids = self.tokenizer(seg, add_special_tokens=(i == 0))["input_ids"]
+            segs.append(self.decoder.apply({"params": self.dec_params},
+                                           input_ids=jnp.asarray([ids], jnp.int32),
+                                           embed_only=True))
+        mixed = [e for pair in zip(segs[:-1], video_embs) for e in pair]
+        mixed.append(segs[-1])
+        return jnp.concatenate(mixed, axis=1)
+
+    def answer(self, video_emb, input_text: str, *, max_new_tokens: int = 300,
+               do_sample: bool = True, temperature: float = 1.0,
+               top_p: float = 0.9, max_length: int = 2000, rng=None) -> str:
+        prompt = _LLAMA_SYSTEM + input_text + "###Assistant:"
+        embs = self._embed_segments(prompt.split("<ImageHere>"), [video_emb])
+        begin = max(0, embs.shape[1] + max_new_tokens - max_length)
+        embs = embs[:, begin:]
+        gcfg = GenerationConfig(max_new_tokens=max_new_tokens, do_sample=do_sample,
+                                temperature=temperature, top_p=top_p,
+                                eos_token_id=2, pad_token_id=2,
+                                stop_sequences=((835,), (2277, 29937)))
+        tokens = generate(self.decoder, self.dec_params, gcfg, prompt_embeds=embs,
+                          rng=rng)
+        return _postprocess(self.tokenizer, tokens, split="###",
+                            role_tag="Assistant:")
+
+
+class MistralVideoQA:
+    def __init__(self, encoder, enc_params, decoder, dec_params, tokenizer,
+                 init_states: Callable, qformer_tokenizer=None):
+        self.encoder = encoder
+        self.enc_params = enc_params
+        self.decoder = decoder
+        self.dec_params = dec_params
+        self.tokenizer = tokenizer
+        self.qformer_tokenizer = qformer_tokenizer or tokenizer
+        self.init_states = init_states
+
+        @jax.jit
+        def _encode(enc_params, chunks, instr_ids, instr_mask, rng):
+            def enc(chunk, states, key):
+                return encoder.apply({"params": enc_params}, chunk, states,
+                                     instruction_ids=instr_ids,
+                                     instruction_mask=instr_mask, ltm_rng=key)
+            return stream_mean_embedding(enc, init_states(chunks.shape[1]),
+                                         chunks, rng)[0]
+
+        self._encode = _encode
+
+    def encode_video(self, chunks, system: str = "", rng=None) -> jnp.ndarray:
+        """Per-chunk encode_img with the system text as Q-former instruction
+        (run_nextqa_mistral.py:141-152), then mean over chunks."""
+        enc = self.qformer_tokenizer(system, add_special_tokens=True)
+        ids = jnp.asarray([enc["input_ids"]], jnp.int32)
+        mask = jnp.asarray([enc.get("attention_mask", [1] * ids.shape[1])],
+                           jnp.float32)
+        return self._encode(self.enc_params, jnp.asarray(chunks), ids, mask,
+                            rng if rng is not None else jax.random.PRNGKey(0))
+
+    def answer(self, video_emb, question: str, *, system: str = "",
+               question_prompt: str = "", answer_prompt: str = "",
+               return_prompt: str = "", max_new_tokens: int = 100,
+               do_sample: bool = False, rng=None) -> str:
+        """[INST] protocol with answer-prompt suffix (run_nextqa_mistral.py:202-299)."""
+        sep = " "
+        prompt = (f"{system}{sep}[INST] <Video><VideoHere></Video> [/INST] {sep}"
+                  f"[INST] {question}{question_prompt} {sep}[/INST] {answer_prompt}")
+        segs = prompt.split("<VideoHere>")
+        embs = _embed_segments_generic(self.decoder, self.dec_params,
+                                       self.tokenizer, segs, [video_emb])
+        gcfg = GenerationConfig(max_new_tokens=max_new_tokens, do_sample=do_sample,
+                                eos_token_id=2, pad_token_id=2,
+                                stop_sequences=((2,), (29871, 2)))
+        tokens = generate(self.decoder, self.dec_params, gcfg, prompt_embeds=embs,
+                          rng=rng)
+        text = _postprocess(self.tokenizer, tokens, split="</s>")
+        return return_prompt + text.strip().split("\n")[0]
+
+
+def _embed_segments_generic(decoder, params, tokenizer, segments, video_embs):
+    segs = []
+    for i, seg in enumerate(segments):
+        ids = tokenizer(seg, add_special_tokens=(i == 0))["input_ids"]
+        segs.append(decoder.apply({"params": params},
+                                  input_ids=jnp.asarray([ids], jnp.int32),
+                                  embed_only=True))
+    mixed = [e for pair in zip(segs[:-1], video_embs) for e in pair]
+    mixed.append(segs[-1])
+    return jnp.concatenate(mixed, axis=1)
+
+
+def _postprocess(tokenizer, tokens, split: str, role_tag: Optional[str] = None) -> str:
+    ids = [int(t) for t in np.asarray(tokens[0])]
+    while ids and ids[0] in (0, 1):
+        ids = ids[1:]
+    text = tokenizer.decode(ids, skip_special_tokens=True)
+    text = text.split(split)[0]
+    if role_tag:
+        text = text.split(role_tag)[-1]
+    return text.strip()
