@@ -1,0 +1,90 @@
+"""Frame preprocessing: resize / crop / flip / normalize, host-side numpy.
+
+Ports the Alpro video processors (InfVideoLLaMA/processors/video_processor.py:
+118-225) and the VC2 per-encoder normalization table
+(infty-VideoChat2/dataset/__init__.py:31-47). Output is float32 NHWC
+([T, H, W, 3]), ready for the NHWC ViTs; augmentation (train processors) uses
+a numpy Generator for reproducibility.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+__all__ = ["CLIP_MEAN", "CLIP_STD", "IMAGENET_MEAN", "IMAGENET_STD",
+           "VideoProcessor", "eval_processor", "train_processor",
+           "normalization_for_encoder"]
+
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def normalization_for_encoder(name: str) -> Tuple[Tuple, Tuple]:
+    """dataset/__init__.py:31-47 dispatch."""
+    if "beit" in name:
+        return (0.5, 0.5, 0.5), (0.5, 0.5, 0.5)
+    if "clip" in name:
+        return CLIP_MEAN, CLIP_STD
+    return IMAGENET_MEAN, IMAGENET_STD
+
+
+def _resize(frames: np.ndarray, size: int) -> np.ndarray:
+    import cv2
+
+    t, h, w, _ = frames.shape
+    scale = size / min(h, w)
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    return np.stack([cv2.resize(f, (nw, nh), interpolation=cv2.INTER_CUBIC)
+                     for f in frames])
+
+
+def _center_crop(frames: np.ndarray, size: int) -> np.ndarray:
+    _, h, w, _ = frames.shape
+    top, left = (h - size) // 2, (w - size) // 2
+    return frames[:, top:top + size, left:left + size]
+
+
+@dataclasses.dataclass
+class VideoProcessor:
+    """resize(min-side) → crop → (flip) → scale to [0,1] → normalize."""
+
+    image_size: int = 224
+    mean: Tuple = CLIP_MEAN
+    std: Tuple = CLIP_STD
+    random_crop: bool = False
+    random_flip: bool = False
+
+    def __call__(self, frames: np.ndarray,
+                 rng: Optional[np.random.Generator] = None) -> np.ndarray:
+        rng = rng or np.random.default_rng()
+        if frames.dtype == np.uint8:
+            frames = frames.astype(np.float32) / 255.0
+        frames = _resize(frames, self.image_size)
+        if self.random_crop:
+            _, h, w, _ = frames.shape
+            top = int(rng.integers(0, h - self.image_size + 1))
+            left = int(rng.integers(0, w - self.image_size + 1))
+            frames = frames[:, top:top + self.image_size, left:left + self.image_size]
+        else:
+            frames = _center_crop(frames, self.image_size)
+        if self.random_flip and rng.random() < 0.5:
+            frames = frames[:, :, ::-1]
+        mean = np.asarray(self.mean, np.float32)
+        std = np.asarray(self.std, np.float32)
+        return ((frames - mean) / std).astype(np.float32)
+
+
+def eval_processor(image_size: int = 224, mean=CLIP_MEAN, std=CLIP_STD) -> VideoProcessor:
+    """AlproVideoEvalProcessor (video_processor.py:178-225)."""
+    return VideoProcessor(image_size, mean, std, False, False)
+
+
+def train_processor(image_size: int = 224, mean=CLIP_MEAN, std=CLIP_STD) -> VideoProcessor:
+    """AlproVideoTrainProcessor (video_processor.py:118-176); RandAugment is
+    intentionally omitted (training recipes here do not enable it)."""
+    return VideoProcessor(image_size, mean, std, True, True)
