@@ -1,0 +1,226 @@
+"""Layered checkpoint loading: torch .pth stacks → flax param trees.
+
+The reference assembles its models from stacked partial checkpoints with
+`strict=False` semantics:
+  ∞-Video-LLaMA (infinityqa.py:60,121,530-539):
+    1. BLIP-2 Q-former pretrain (blip2_pretrained_flant5xxl.pth)
+    2. MiniGPT-4 / Video-LLaMA llama_proj + video Q-former ("ckpt")
+    3. finetune checkpoint ("ckpt_2")
+  ∞-VideoChat2 (videochat2_it_mistral.py:81-86,165-173;
+  run_nextqa_mistral.py:470-487):
+    1. vit_blip (UMT ViT + Q-former)
+    2. videochat2 stage-2/3 checkpoint
+    3. LoRA stage-3 state_dict, merged into the Mistral weights
+
+Here each stage is converted with the matching converter (qformer / vit /
+decoder) and deep-merged onto the param tree — later stages override earlier
+ones, unknown keys are reported, missing keys keep their initialization
+(exactly `strict=False`). Training-side save/restore of full TrainStates uses
+orbax (save_train_state / restore_train_state).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterable, Mapping, Optional, Tuple
+
+import numpy as np
+
+from infinite_video_tpu.convert.decoder import convert_decoder_state_dict, merge_lora
+from infinite_video_tpu.convert.qformer import convert_qformer_state_dict
+from infinite_video_tpu.convert.vit import convert_vit_state_dict
+
+__all__ = ["load_torch_state_dict", "split_reference_checkpoint",
+           "deep_merge", "assemble_infvideollama_params",
+           "assemble_videochat2_params", "save_train_state",
+           "restore_train_state"]
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch .pth/.bin into {name: np.ndarray} (handles 'model' wrap)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "model" in obj and isinstance(obj["model"], dict):
+        obj = obj["model"]
+    if isinstance(obj, dict) and "module" in obj and isinstance(obj["module"], dict):
+        obj = obj["module"]
+    return {k: v for k, v in obj.items() if hasattr(v, "shape")}
+
+
+def deep_merge(base: Dict, update: Mapping) -> Dict:
+    """Recursively overlay `update` onto `base` (strict=False load)."""
+    for k, v in update.items():
+        if isinstance(v, Mapping) and isinstance(base.get(k), dict):
+            deep_merge(base[k], v)
+        else:
+            base[k] = v
+    return base
+
+
+def split_reference_checkpoint(sd: Mapping[str, np.ndarray]) -> Dict[str, Dict]:
+    """Split a mixed reference state_dict into per-component sub-dicts by the
+    reference's module prefixes."""
+    comps: Dict[str, Dict] = {
+        "visual_encoder": {}, "ln_vision": {}, "qformer": {},
+        "video_qformer": {}, "query_tokens": {}, "video_query_tokens": {},
+        "llama_proj": {}, "mistral_proj": {}, "decoder": {},
+        "vision_layernorm": {}, "extra_query_tokens": {},
+        "video_frame_position_embedding": {}, "other": {},
+    }
+    for k, v in sd.items():
+        if k.startswith(("visual_encoder.", "vision_encoder.")):
+            comps["visual_encoder"][k.split(".", 1)[1]] = v
+        elif k.startswith("ln_vision."):
+            comps["ln_vision"][k.split(".", 1)[1]] = v
+        elif k.startswith("vision_layernorm."):
+            comps["vision_layernorm"][k.split(".", 1)[1]] = v
+        elif k.startswith("video_Qformer."):
+            comps["video_qformer"][k.split(".", 1)[1]] = v
+        elif k.startswith(("Qformer.", "qformer.")):
+            comps["qformer"][k.split(".", 1)[1]] = v
+        elif k == "query_tokens":
+            comps["query_tokens"][k] = v
+        elif k == "video_query_tokens":
+            comps["video_query_tokens"][k] = v
+        elif k == "extra_query_tokens":
+            comps["extra_query_tokens"][k] = v
+        elif k.startswith("video_frame_position_embedding"):
+            comps["video_frame_position_embedding"][k] = v
+        elif k.startswith("llama_proj."):
+            comps["llama_proj"][k.split(".", 1)[1]] = v
+        elif k.startswith("mistral_proj."):
+            comps["mistral_proj"][k.split(".", 1)[1]] = v
+        elif k.startswith(("llama_model.", "mistral_model.")):
+            comps["decoder"][k.split(".", 1)[1]] = v
+        else:
+            comps["other"][k] = v
+    return comps
+
+
+def _dense(sub: Mapping, out: Dict, name: str):
+    if "weight" in sub:
+        out[name] = {"kernel": np.ascontiguousarray(np.asarray(sub["weight"], np.float32).T)}
+        if "bias" in sub:
+            out[name]["bias"] = np.asarray(sub["bias"], np.float32)
+
+
+def _layernorm(sub: Mapping, out: Dict, name: str):
+    if "weight" in sub:
+        out[name] = {"scale": np.asarray(sub["weight"], np.float32),
+                     "bias": np.asarray(sub["bias"], np.float32)}
+
+
+def assemble_infvideollama_params(
+    init_params: Dict,
+    checkpoint_paths: Iterable[str],
+    decoder_path: Optional[str] = None,
+) -> Tuple[Dict, Dict]:
+    """Overlay reference ∞-Video-LLaMA checkpoints onto an encoder init tree.
+
+    Returns (encoder_params, decoder_params_or_None). `checkpoint_paths` are
+    applied in order (q_former_model, ckpt, ckpt_2 — infinityqa.py semantics).
+    """
+    params = init_params
+    for path in checkpoint_paths:
+        sd = load_torch_state_dict(path)
+        comps = split_reference_checkpoint(sd)
+        upd: Dict = {}
+        if comps["visual_encoder"]:
+            upd["visual_encoder"] = convert_vit_state_dict(comps["visual_encoder"])
+        if comps["ln_vision"]:
+            _layernorm(comps["ln_vision"], upd, "ln_vision")
+        if comps["qformer"]:
+            upd["Qformer"] = convert_qformer_state_dict(comps["qformer"])
+        if comps["video_qformer"]:
+            upd["video_Qformer"] = convert_qformer_state_dict(comps["video_qformer"])
+        if comps["query_tokens"]:
+            upd["query_tokens"] = np.asarray(
+                comps["query_tokens"]["query_tokens"], np.float32)
+        if comps["video_query_tokens"]:
+            upd["video_query_tokens"] = np.asarray(
+                comps["video_query_tokens"]["video_query_tokens"], np.float32)
+        if comps["video_frame_position_embedding"]:
+            w = comps["video_frame_position_embedding"][
+                "video_frame_position_embedding.weight"]
+            upd["video_frame_position_embedding"] = np.asarray(w, np.float32)
+        if comps["llama_proj"]:
+            _dense(comps["llama_proj"], upd, "llama_proj")
+        deep_merge(params, upd)
+    decoder_params = None
+    if decoder_path:
+        decoder_params = convert_decoder_state_dict(load_torch_state_dict(decoder_path))
+    return params, decoder_params
+
+
+def assemble_videochat2_params(
+    init_params: Dict,
+    checkpoint_paths: Iterable[str],
+    decoder_path: Optional[str] = None,
+    lora_path: Optional[str] = None,
+    lora_alpha: float = 32.0,
+    lora_r: int = 16,
+) -> Tuple[Dict, Optional[Dict]]:
+    """Overlay VC2 checkpoints (vit_blip → stage ckpt) and merge stage-3 LoRA
+    into the Mistral decoder weights."""
+    params = init_params
+    for path in checkpoint_paths:
+        sd = load_torch_state_dict(path)
+        comps = split_reference_checkpoint(sd)
+        upd: Dict = {}
+        if comps["visual_encoder"]:
+            upd["vision_encoder"] = convert_vit_state_dict(comps["visual_encoder"])
+        if comps["vision_layernorm"]:
+            _layernorm(comps["vision_layernorm"], upd, "vision_layernorm")
+        if comps["qformer"]:
+            upd["qformer"] = convert_qformer_state_dict(comps["qformer"])
+        if comps["query_tokens"]:
+            upd["query_tokens"] = np.asarray(comps["query_tokens"]["query_tokens"],
+                                             np.float32)
+        if comps["extra_query_tokens"]:
+            upd["extra_query_tokens"] = np.asarray(
+                comps["extra_query_tokens"]["extra_query_tokens"], np.float32)
+        if comps["mistral_proj"]:
+            _dense(comps["mistral_proj"], upd, "mistral_proj")
+        deep_merge(params, upd)
+
+    decoder_params = None
+    if decoder_path:
+        dec_sd = load_torch_state_dict(decoder_path)
+        if lora_path:
+            lora_sd = load_torch_state_dict(lora_path)
+            dec_sd = {**dec_sd, **lora_sd}
+            dec_sd = merge_lora(dec_sd, lora_alpha=lora_alpha, r=lora_r)
+        decoder_params = convert_decoder_state_dict(dec_sd)
+    return params, decoder_params
+
+
+# --------------------------------------------------------------------------
+# Training-side checkpointing (orbax): full TrainState save/auto-resume,
+# replacing the reference's epoch/iter checkpoint scan
+# (tasks/shared_utils.py:64-99, shared_utils_ds.py:78-120).
+
+
+def save_train_state(ckpt_dir: str, step: int, state) -> str:
+    import orbax.checkpoint as ocp
+
+    path = os.path.join(os.path.abspath(ckpt_dir), f"ckpt_{step:08d}")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state)
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_train_state(ckpt_dir: str, template):
+    """Restore the latest ckpt_* under ckpt_dir; None when absent."""
+    import orbax.checkpoint as ocp
+
+    if not os.path.isdir(ckpt_dir):
+        return None, -1
+    cands = sorted(d for d in os.listdir(ckpt_dir) if d.startswith("ckpt_"))
+    if not cands:
+        return None, -1
+    path = os.path.join(os.path.abspath(ckpt_dir), cands[-1])
+    step = int(cands[-1].split("_")[1])
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path, template), step
