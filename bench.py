@@ -32,6 +32,16 @@ PINNED_CPU_BASELINE_FPS = None  # resolved at first run; see _torch_baseline
 
 
 def _jax_fps() -> float:
+    """Per-chunk time via chain-length differencing with fresh inputs.
+
+    On tunneled TPU runtimes `block_until_ready` can return before remote
+    execution finishes and identical (executable, inputs) pairs may be served
+    from a relay cache. The scan over chunks is a true dependency chain
+    (LTM state carry), so timing t(N2)-t(N1) with a scalar readback and fresh
+    random chunks per trial measures real execution.
+    """
+    from functools import partial
+
     import jax
     import jax.numpy as jnp
 
@@ -41,7 +51,7 @@ def _jax_fps() -> float:
                         tokens_per_frame=TOKENS_PER_FRAME, feature_dim=768,
                         hidden_size=768, num_heads=12, tau=0.75, sticky=STICKY)
     rng = jax.random.PRNGKey(0)
-    kp, kv, kq, kd = jax.random.split(rng, 4)
+    kp, kv, kq = jax.random.split(rng, 3)
     params = {
         "key": {"kernel": jax.random.normal(kp, (768, 768)) * 0.02,
                 "bias": jnp.zeros(768)},
@@ -49,28 +59,42 @@ def _jax_fps() -> float:
                   "bias": jnp.zeros(768)},
     }
     queries = jax.random.normal(kq, (1, 32, 768)) * 0.5
-    chunks = jax.random.normal(
-        kd, (NUM_CHUNKS, 1, CHUNK_LEN * TOKENS_PER_FRAME, 768)) * 0.5
 
-    @jax.jit
-    def stream(params, chunks, queries, key):
+    @partial(jax.jit, static_argnames="n")
+    def stream(params, chunks, queries, key, n):
         def step(carry, chunk):
             state, key = carry
             key, sub = jax.random.split(key)
             ctx, state = ltm.ltm_attend(cfg, params, state, chunk, queries, sub)
-            return (state, key), ctx
+            return (state, key), ctx.sum()
 
         init = (ltm.init_state(cfg, 1), key)
-        (_, _), ctxs = jax.lax.scan(step, init, chunks)
-        return ctxs
+        (_, _), sums = jax.lax.scan(step, init, chunks[:n])
+        return sums.sum()
 
-    out = jax.block_until_ready(stream(params, chunks, queries, jax.random.PRNGKey(1)))
-    reps, best = 5, float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(stream(params, chunks, queries, jax.random.PRNGKey(1)))
-        best = min(best, time.perf_counter() - t0)
-    return NUM_CHUNKS * CHUNK_LEN / best
+    n_small, n_large = 4, 4 + NUM_CHUNKS
+
+    def fresh_chunks(seed):
+        return jax.random.normal(
+            jax.random.PRNGKey(seed),
+            (n_large, 1, CHUNK_LEN * TOKENS_PER_FRAME, 768)) * 0.5
+
+    warm = fresh_chunks(999)
+    for n in (n_small, n_large):
+        float(stream(params, warm, queries, jax.random.PRNGKey(1), n))
+
+    def run(n, trials=3):
+        best = float("inf")
+        for t in range(trials):
+            ch = fresh_chunks(1000 * n + t)
+            float(ch[0, 0, 0, 0])  # materialize inputs before timing
+            t0 = time.perf_counter()
+            float(stream(params, ch, queries, jax.random.PRNGKey(t), n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    per_chunk = (run(n_large) - run(n_small)) / NUM_CHUNKS
+    return CHUNK_LEN / max(per_chunk, 1e-9)
 
 
 def _torch_baseline_fps() -> float:

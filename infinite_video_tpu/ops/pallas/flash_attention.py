@@ -1,0 +1,144 @@
+"""Causal flash attention for TPU (Pallas), replacing flash-attn CUDA.
+
+The reference patches LLaMA attention with flash_attn_varlen_qkvpacked_func
+(infty-VideoChat2/models/blip2/modeling_llama_mem.py:12-753). This is the
+TPU equivalent: an online-softmax blocked kernel that never materializes the
+[S, S] score matrix in HBM — q/k/v tiles stream through VMEM, the MXU does
+the two matmuls per tile pair, and the running (max, sum, acc) update runs on
+the VPU.
+
+Layout: q, k, v are [batch*heads, seq, head_dim]; the wrapper handles the
+[B, S, H, D] <-> grid mapping, head-dim padding to a lane multiple and
+sequence padding to the block size. Causal masking skips fully-masked key
+blocks via the grid (only k-blocks <= q-block are visited).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["flash_attention"]
+
+_NEG_INF = -1e30
+
+
+def _fa_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
+               sm_scale: float, block_q: int, block_k: int, causal: bool,
+               kv_len: int):
+    """Grid: (bh, num_q_blocks, num_k_blocks); k is the innermost dim."""
+    kb = pl.program_id(2)
+    qb = pl.program_id(1)
+
+    @pl.when(kb == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    def compute():
+        q = q_ref[0]                                    # [bq, d]
+        k = k_ref[0]                                    # [bk, d]
+        v = v_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale   # [bq, bk]
+
+        q_pos = qb * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
+        k_pos = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        mask = k_pos < kv_len
+        if causal:
+            mask &= k_pos <= q_pos
+        s = jnp.where(mask, s, _NEG_INF)
+
+        m_prev = m_scr[:]                               # [bq, 1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)                          # [bq, bk]
+        alpha = jnp.exp(m_prev - m_new)                 # [bq, 1]
+        l_new = alpha * l_scr[:] + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_scr[:] = m_new
+        l_scr[:] = l_new
+
+    if causal:
+        # Skip key blocks strictly after the diagonal.
+        @pl.when(kb * block_k <= qb * block_q + block_q - 1)
+        def _():
+            compute()
+    else:
+        compute()
+
+    @pl.when(kb == pl.num_programs(2) - 1)
+    def _finalize():
+        o_ref[0] = (acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)).astype(o_ref.dtype)
+
+
+def _pad_to(x, size, axis):
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "sm_scale", "block_q",
+                                             "block_k", "interpret"))
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
+                    causal: bool = True, sm_scale: float | None = None,
+                    block_q: int = 128, block_k: int = 128,
+                    interpret: bool = False) -> jnp.ndarray:
+    """q: [B, S_q, H, D], k/v: [B, S_kv, H, D] -> [B, S_q, H, D] (fp32 accum).
+
+    GQA callers repeat kv heads before the call (as models/decoder.py does).
+    """
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+
+    def to_grid(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
+
+    qg, kg, vg = to_grid(q), to_grid(k), to_grid(v)
+
+    sq_p = -(-sq // block_q) * block_q
+    skv_p = -(-skv // block_k) * block_k
+    d_p = max(-(-d // 128) * 128, 128)
+    qg = _pad_to(_pad_to(qg, sq_p, 1), d_p, 2)
+    kg = _pad_to(_pad_to(kg, skv_p, 1), d_p, 2)
+    vg = _pad_to(_pad_to(vg, skv_p, 1), d_p, 2)
+
+    grid = (b * h, sq_p // block_q, skv_p // block_k)
+    kernel = functools.partial(_fa_kernel, sm_scale=sm_scale, block_q=block_q,
+                               block_k=block_k, causal=causal, kv_len=skv)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_p), lambda bh, qb, kb: (bh, qb, 0)),
+            pl.BlockSpec((1, block_k, d_p), lambda bh, qb, kb: (bh, kb, 0)),
+            pl.BlockSpec((1, block_k, d_p), lambda bh, qb, kb: (bh, kb, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d_p), lambda bh, qb, kb: (bh, qb, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_p, d_p), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d_p), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qg, kg, vg)
+
+    out = out[:, :sq, :d].reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+    return out
