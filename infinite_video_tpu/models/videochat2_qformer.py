@@ -1,0 +1,118 @@
+"""Stage-1 Q-former contrastive pretraining model (VTC / VTM / MLM-cap).
+
+Rebuild of `VideoChat2_qformer` (infty-VideoChat2/models/videochat2_qformer.py:
+16-408): frozen UMT ViT → Q-former with query tokens → vision/text projection
+heads into a shared embedding space, an ITM head over multimodal query
+embeddings, a learnable clamped contrastive temperature, and the three-loss
+objective (criterions weighted by config.criterion.loss_weight). Text encoding
+reuses the same Q-former in text-only mode (queries absent), matching the
+BLIP-2 recipe the reference inherits via xbert.
+
+Losses live in training/criterions.py; this module wires the encoders,
+projections and heads into a single flax model whose `loss()` returns the
+weighted dict for the stage-1 trainer (tasks/train_qformer.py analogue).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from infinite_video_tpu.models.qformer import QFormer, QFormerConfig
+from infinite_video_tpu.models.vit import ViTConfig, VisionTransformer
+from infinite_video_tpu.training import criterions
+
+__all__ = ["QFormerPretrainConfig", "VideoChat2QFormerPretrain"]
+
+
+@dataclasses.dataclass(frozen=True)
+class QFormerPretrainConfig:
+    vit: ViTConfig
+    qformer: QFormerConfig
+    num_query_token: int = 32
+    embed_dim: int = 256
+    temp_init: float = 0.07
+    agg_method: str = "mean"
+    vtm_hard_neg: bool = True
+    loss_vtc: float = 1.0
+    loss_vtm: float = 1.0
+    loss_mlm: float = 1.0
+
+
+class VideoChat2QFormerPretrain(nn.Module):
+    cfg: QFormerPretrainConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.vision_encoder = VisionTransformer(cfg.vit, name="vision_encoder")
+        self.qformer = QFormer(cfg.qformer, name="qformer")
+        self.query_tokens = self.param(
+            "query_tokens", nn.initializers.normal(0.02),
+            (1, cfg.num_query_token, cfg.qformer.hidden_size))
+        self.vision_proj = nn.Dense(cfg.embed_dim, name="vision_proj")
+        self.text_proj = nn.Dense(cfg.embed_dim, name="text_proj")
+        self.itm_head = nn.Dense(2, name="itm_head")
+        self.temp = self.param("temp", nn.initializers.constant(cfg.temp_init), ())
+
+    def clamped_temp(self):
+        # clip_contrastive_temperature (videochat2_qformer.py:230-232)
+        return jnp.clip(self.temp, 0.001, 0.5)
+
+    def encode_vision(self, pixels: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """[B,T,H,W,C] -> (patch features [B, T*L, C], query embeds [B, Q, H])."""
+        feats = self.vision_encoder(pixels)
+        b = feats.shape[0]
+        q = jnp.tile(self.query_tokens, (b, 1, 1))
+        query_out, _ = self.qformer(query_embeds=q, encoder_hidden_states=feats,
+                                    ltm_on=False)
+        return feats, query_out[:, : self.cfg.num_query_token]
+
+    def encode_text(self, text_ids: jnp.ndarray, text_mask: jnp.ndarray):
+        """Text-only pass through the Q-former trunk; pooled = CLS position."""
+        # query_length=0 path: plain BERT over the text stream.
+        hidden, _ = self.qformer(
+            query_embeds=jnp.zeros((text_ids.shape[0], 0,
+                                    self.cfg.qformer.hidden_size)),
+            input_ids=text_ids, attention_mask=text_mask, ltm_on=False)
+        return hidden, hidden[:, 0]
+
+    def vtm_embed(self, vision_feats, text_ids, text_mask):
+        """Multimodal match embedding: queries attend to text + vision
+        (videochat2_qformer.py:386-407)."""
+        b = vision_feats.shape[0]
+        q = jnp.tile(self.query_tokens, (b, 1, 1))
+        query_mask = jnp.ones((b, q.shape[1]), jnp.float32)
+        mask = jnp.concatenate([query_mask, text_mask.astype(jnp.float32)], 1)
+        hidden, _ = self.qformer(query_embeds=q, encoder_hidden_states=vision_feats,
+                                 input_ids=text_ids, attention_mask=mask,
+                                 ltm_on=False)
+        return hidden[:, : self.cfg.num_query_token].mean(axis=1)
+
+    def __call__(self, pixels, text_ids, text_mask, idx=None,
+                 rng: Optional[jax.Array] = None) -> Dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        temp = self.clamped_temp()
+
+        vision_feats, vision_query = self.encode_vision(pixels)
+        _, pooled_text = self.encode_text(text_ids, text_mask)
+
+        vision_p = self.vision_proj(vision_query)          # [B, Q, C]
+        text_p = self.text_proj(pooled_text)               # [B, C]
+
+        losses = {}
+        if cfg.loss_vtc:
+            losses["loss_vtc"] = cfg.loss_vtc * criterions.vtc_loss(
+                vision_p, text_p, idx, temp, agg=cfg.agg_method)
+        if cfg.loss_vtm:
+            losses["loss_vtm"] = cfg.loss_vtm * criterions.vtm_loss(
+                lambda v, ids, atts: self.vtm_embed(v, ids, atts),
+                self.itm_head, rng, vision_feats, text_ids, text_mask,
+                vision_p.mean(1), text_p, idx, temp, cfg.vtm_hard_neg)
+        losses["loss_total"] = sum(losses.values())
+        return losses

@@ -73,6 +73,10 @@ class LTMConfig:
     num_int_points: int = gmatrix.NUM_INTEGRATION_POINTS
     num_sticky_bins: int = gmatrix.NUM_STICKY_BINS
     basis: str = "rectangular"
+    # Fuse the Gibbs integral chain into one Pallas kernel (VMEM-resident);
+    # numerically equivalent to the XLA path (tests/test_ltm_fused.py).
+    use_pallas: bool = False
+    pallas_interpret: bool = False  # test hook (CPU interpret mode)
 
     @property
     def head_dim(self) -> int:
@@ -261,14 +265,20 @@ def continuous_attention(
     kh = keys.reshape(b, n, h, d).transpose(0, 2, 1, 3)     # [b,h,N,d]
     vh = values.reshape(b, n, h, d).transpose(0, 2, 1, 3)   # [b,h,N,d]
 
-    # z(t): [b,h,Q,T]
-    k_psi = jnp.einsum("bhnd,tn->bhtd", kh, psi_t, precision=_PREC)
-    z = jnp.einsum("bhqd,bhtd->bhqt", qh, k_psi, precision=_PREC)
-    p = _gibbs_density(z, w)
+    if cfg.use_pallas:
+        from infinite_video_tpu.ops.pallas.ltm_fused import fused_continuous_attention
 
-    # I = ∫ p(t) ψ(t) dt : [b,h,Q,N]; context = I·V.
-    integral = jnp.einsum("bhqt,t,tn->bhqn", p, w, psi_t, precision=_PREC)
-    ctx = jnp.einsum("bhqn,bhnd->bhqd", integral, vh, precision=_PREC)
+        ctx = fused_continuous_attention(qh, kh, vh, psi_t, w,
+                                         interpret=cfg.pallas_interpret)
+    else:
+        # z(t): [b,h,Q,T]
+        k_psi = jnp.einsum("bhnd,tn->bhtd", kh, psi_t, precision=_PREC)
+        z = jnp.einsum("bhqd,bhtd->bhqt", qh, k_psi, precision=_PREC)
+        p = _gibbs_density(z, w)
+
+        # I = ∫ p(t) ψ(t) dt : [b,h,Q,N]; context = I·V.
+        integral = jnp.einsum("bhqt,t,tn->bhqn", p, w, psi_t, precision=_PREC)
+        ctx = jnp.einsum("bhqn,bhnd->bhqd", integral, vh, precision=_PREC)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, q_len, hidden)
 
     # Sticky bin masses of *this* chunk's density, consumed by the next

@@ -1,0 +1,95 @@
+"""Fused continuous attention: z(t) → Gibbs density → ∫p·ψ → context, one kernel.
+
+The LTM query step (ops/ltm.py continuous_attention, mirroring
+long_term_attention_gibbs.py:224-286) is four chained contractions over the
+1000-point integration grid with elementwise exp/normalize between them:
+
+    kpsi[t,d] = ψ[t,n]·K[n,d]      z[q,t] = Q[q,d]·kpsi[t,d]
+    p = exp(z-max)·w / Σ exp(z-max)·w
+    I[q,n] = p[q,t]·ψ[t,n]         ctx[q,d] = I[q,n]·V[n,d]
+
+XLA materializes kpsi/z/p between fusions; this kernel keeps the whole chain
+in VMEM per (batch·head) grid step — ψ is loaded once per step and every
+intermediate lives on-chip. fp32 throughout (parity-critical path).
+
+Geometry (N=256, T=1000, Q=32, d=64) fits comfortably: ψ padded [1024, 256]
+is 1 MB; everything else is <1 MB.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_continuous_attention"]
+
+
+def _kernel(q_ref, k_ref, v_ref, psi_ref, w_ref, o_ref, *, t_real: int):
+    q = q_ref[0]          # [Q, d]
+    k = k_ref[0]          # [N, d]
+    v = v_ref[0]          # [N, d]
+    psi = psi_ref[:]      # [T, N]
+    w = w_ref[:]          # [1, T] trapezoid weights (0 on padding)
+
+    kpsi = jnp.dot(psi, k, preferred_element_type=jnp.float32)        # [T, d]
+    z = jax.lax.dot_general(q, kpsi, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)       # [Q, T]
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
+    z = jnp.where(t_ids < t_real, z, -1e30)
+    m = jnp.max(z, axis=-1, keepdims=True)
+    ez = jnp.exp(z - m) * w                                           # [Q, T]
+    denom = jnp.sum(ez, axis=-1, keepdims=True)
+    p = ez / jnp.maximum(denom, 1e-30)
+    integral = jnp.dot(p, psi, preferred_element_type=jnp.float32)    # [Q, N]
+    o_ref[0] = jnp.dot(integral, v, preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_continuous_attention(qh: jnp.ndarray, kh: jnp.ndarray,
+                               vh: jnp.ndarray, psi: jnp.ndarray,
+                               w: jnp.ndarray, interpret: bool = False):
+    """qh: [B, H, Q, d] (pre-scaled by 1/√d), kh/vh: [B, H, N, d],
+    psi: [T, N], w: [T] -> context [B, H, Q, d] in fp32.
+
+    Equivalent to ops.ltm.continuous_attention's main integral (the sticky
+    edge-mass side computation stays in XLA — it is 129 points and cheap).
+    """
+    b, h, q_len, d = qh.shape
+    n = kh.shape[2]
+    t = psi.shape[0]
+
+    t_pad = -(-t // 128) * 128
+    d_pad = max(-(-d // 128) * 128, 128)
+    q_pad = max(-(-q_len // 8) * 8, 8)
+    psi_p = jnp.pad(psi.astype(jnp.float32), ((0, t_pad - t), (0, 0)))
+    w_p = jnp.pad(w.astype(jnp.float32), (0, t_pad - t))[None, :]     # [1, T]
+
+    def prep(x, pad_rows):
+        x = x.reshape(b * h, x.shape[2], d).astype(jnp.float32)
+        return jnp.pad(x, ((0, 0), (0, pad_rows - x.shape[1]), (0, d_pad - d)))
+
+    qg = prep(qh, q_pad)
+    kg = prep(kh, n)
+    vg = prep(vh, n)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, t_real=t),
+        grid=(b * h,),
+        in_specs=[
+            pl.BlockSpec((1, q_pad, d_pad), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, n, d_pad), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, n, d_pad), lambda i: (i, 0, 0)),
+            pl.BlockSpec((t_pad, n), lambda i: (0, 0)),
+            pl.BlockSpec((1, t_pad), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, q_pad, d_pad), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, q_pad, d_pad), jnp.float32),
+        interpret=interpret,
+    )(qg, kg, vg, psi_p, w_p)
+
+    return out[:, :q_len, :d].reshape(b, h, q_len, d)

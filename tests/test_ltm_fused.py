@@ -1,0 +1,59 @@
+"""Fused continuous-attention kernel vs the XLA reference path."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from infinite_video_tpu.ops import ltm
+from infinite_video_tpu.ops.pallas.ltm_fused import fused_continuous_attention
+
+
+def test_fused_matches_xla_path():
+    cfg = ltm.LTMConfig(num_basis=64, chunk_len=16, sticky=False)
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    b, h, q_len, d, n = 1, cfg.num_heads, 32, cfg.head_dim, cfg.num_basis
+    queries = jax.random.normal(kq, (b, q_len, cfg.hidden_size)) * 0.5
+    keys = jax.random.normal(kk, (b, n, cfg.hidden_size)) * 0.5
+    values = jax.random.normal(kv, (b, n, cfg.hidden_size)) * 0.5
+
+    ref_ctx, _ = ltm.continuous_attention(cfg, queries, keys, values)
+
+    _, w, psi = ltm._integration_grid(cfg)
+    qh = queries.reshape(b, q_len, h, d).transpose(0, 2, 1, 3) / math.sqrt(d)
+    kh = keys.reshape(b, n, h, d).transpose(0, 2, 1, 3)
+    vh = values.reshape(b, n, h, d).transpose(0, 2, 1, 3)
+    ctx = fused_continuous_attention(qh, kh, vh, jnp.asarray(psi),
+                                     jnp.asarray(w), interpret=True)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, q_len, cfg.hidden_size)
+    np.testing.assert_allclose(np.asarray(ctx), np.asarray(ref_ctx),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_fused_in_full_ltm_attend():
+    """ltm_attend with use_pallas gives the same contexts as the XLA path."""
+    cfg_x = ltm.LTMConfig(num_basis=64, chunk_len=8, sticky=False)
+    cfg_p = ltm.LTMConfig(num_basis=64, chunk_len=8, sticky=False,
+                          use_pallas=True, pallas_interpret=True)
+    key = jax.random.PRNGKey(1)
+    kp, kv, kq, kd = jax.random.split(key, 4)
+    params = {
+        "key": {"kernel": jax.random.normal(kp, (768, 768)) * 0.02,
+                "bias": jnp.zeros(768)},
+        "value": {"kernel": jax.random.normal(kv, (768, 768)) * 0.02,
+                  "bias": jnp.zeros(768)},
+    }
+    q = jax.random.normal(kq, (1, 32, 768)) * 0.5
+    chunk = jax.random.normal(kd, (1, 8 * 32, 768)) * 0.5
+
+    sx = ltm.init_state(cfg_x, 1)
+    sp = ltm.init_state(cfg_p, 1)
+    for _ in range(2):
+        cx, sx = ltm.ltm_attend(cfg_x, params, sx, chunk, q)
+        cp, sp = ltm.ltm_attend(cfg_p, params, sp, chunk, q)
+    np.testing.assert_allclose(np.asarray(cp), np.asarray(cx),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(sp.sticky_mass),
+                               np.asarray(sx.sticky_mass), rtol=2e-5, atol=2e-6)
