@@ -1,0 +1,209 @@
+"""Benchmark eval launcher: NExT-QA / EgoSchema / Video-MME / MovieChat.
+
+Replaces the reference's per-benchmark eval scripts
+(eval_code/eval/run_inference_inf_video_llama_*.py,
+infty-VideoChat2/eval_code/run_*_mistral.py) with one CLI:
+
+  python -m infinite_video_tpu.cli.run_eval \\
+      --benchmark nextqa --model videochat2 \\
+      --data-path EgoSchema.csv --video-folder /data/videos \\
+      --output-dir out/ --max-int 16 --num-samples 8 --num-basis 64 \\
+      --tau 0.75 --alpha 1.0 --sticky \\
+      --vit-ckpt vit_blip.pth --stage-ckpt stage3.pth \\
+      --llm /path/mistral-7b --lora lora.pth
+
+Predictions are resumable (skip answered keys); output dir encodes the
+hyperparameters exactly as the reference does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--benchmark", required=True,
+                   choices=["nextqa", "nextqa-oe", "egoschema", "videomme",
+                            "moviechat"])
+    p.add_argument("--model", default="videochat2",
+                   choices=["videochat2", "infvideollama"])
+    p.add_argument("--data-path", required=True, help="annotation csv/json/dir")
+    p.add_argument("--video-folder", required=True,
+                   help="videos dir, or .npy frame dir from extract_features")
+    p.add_argument("--subtitle-folder", default="")
+    p.add_argument("--output-dir", required=True)
+    # LTM hyperparameters (reference argparse flags)
+    p.add_argument("--max-int", type=int, default=16, help="frames per chunk")
+    p.add_argument("--num-samples", type=int, default=8, help="chunks per video")
+    p.add_argument("--num-basis", type=int, default=64)
+    p.add_argument("--tau", type=float, default=0.75)
+    p.add_argument("--alpha", type=float, default=1.0)
+    p.add_argument("--sticky", action="store_true", default=True)
+    p.add_argument("--no-sticky", dest="sticky", action="store_false")
+    p.add_argument("--baseline", action="store_true",
+                   help="disable the LTM (stock Q-former control arm)")
+    # checkpoints
+    p.add_argument("--vit-ckpt", default="")
+    p.add_argument("--stage-ckpt", default="")
+    p.add_argument("--ckpt", default="")
+    p.add_argument("--ckpt-2", default="")
+    p.add_argument("--llm", default="", help="HF decoder directory")
+    p.add_argument("--lora", default="")
+    p.add_argument("--seed", type=int, default=42)
+    return p
+
+
+def make_frame_source(video_folder: str, num_frames: int, chunk_len: int,
+                      image_size: int = 224):
+    """video name -> [C, 1, T, H, W, 3] normalized chunks; supports raw videos
+    or .npy frame dumps from cli.extract_features, with C++ read-ahead when
+    native prefetch is available."""
+    import numpy as np
+
+    from infinite_video_tpu.data.processors import eval_processor
+    from infinite_video_tpu.data.video_reader import chunk_frames, read_video_frames
+
+    proc = eval_processor(image_size)
+
+    def source(video_name: str):
+        stem = os.path.splitext(video_name)[0]
+        npy = os.path.join(video_folder, stem + ".npy")
+        if os.path.exists(npy):
+            frames = np.load(npy)
+            if frames.shape[0] != num_frames:
+                idx = np.linspace(0, frames.shape[0] - 1, num_frames).astype(int)
+                frames = frames[idx]
+        else:
+            path = os.path.join(video_folder, video_name)
+            if not os.path.exists(path):
+                path = os.path.join(video_folder, stem + ".mp4")
+            frames = read_video_frames(path, num_frames, sampling="middle")
+        return chunk_frames(proc(frames), chunk_len)
+
+    return source
+
+
+def build_engine(args):
+    import jax
+    import jax.numpy as jnp
+
+    if args.model == "videochat2":
+        from infinite_video_tpu.eval.engine import MistralVideoQA
+        from infinite_video_tpu.models import videochat2 as vc2
+        from infinite_video_tpu.models.decoder import Decoder
+
+        cfg = vc2.default_config(chunk_len=args.max_int, num_basis=args.num_basis,
+                                 tau=args.tau, alpha=args.alpha,
+                                 sticky=args.sticky, num_frames=args.max_int)
+        encoder = vc2.VideoChat2Encoder(cfg)
+        decoder = Decoder(cfg.decoder)
+        rng = jax.random.PRNGKey(args.seed)
+        dummy = jnp.zeros((1, args.max_int, 224, 224, 3))
+        enc_params = encoder.init(rng, dummy, encoder.init_states(1),
+                                  instruction_ids=jnp.zeros((1, 4), jnp.int32)
+                                  )["params"]
+        dec_params = None
+        if args.vit_ckpt or args.stage_ckpt:
+            from infinite_video_tpu.convert.checkpoints import assemble_videochat2_params
+
+            paths = [p for p in (args.vit_ckpt, args.stage_ckpt) if p]
+            enc_params, dec_params = assemble_videochat2_params(
+                enc_params, paths, decoder_path=args.llm or None,
+                lora_path=args.lora or None)
+        tokenizer = _load_tokenizer(args.llm)
+        if dec_params is None:
+            dec_params = _load_decoder_params(args.llm, decoder, rng)
+        return MistralVideoQA(encoder, enc_params, decoder, dec_params,
+                              tokenizer, init_states=encoder.init_states), cfg
+    else:
+        from infinite_video_tpu.eval.engine import LLaMAVideoQA
+        from infinite_video_tpu.models import infinite_videollama as ivl
+        from infinite_video_tpu.models.decoder import Decoder
+
+        cfg = ivl.default_config(chunk_len=args.max_int, num_basis=args.num_basis,
+                                 tau=args.tau, alpha=args.alpha, sticky=args.sticky)
+        encoder = ivl.InfVideoLLaMAEncoder(cfg)
+        decoder = Decoder(cfg.decoder)
+        rng = jax.random.PRNGKey(args.seed)
+        dummy = jnp.zeros((1, args.max_int, 224, 224, 3))
+        enc_params = encoder.init(rng, dummy, encoder.init_states(1))["params"]
+        if args.ckpt or args.ckpt_2:
+            from infinite_video_tpu.convert.checkpoints import assemble_infvideollama_params
+
+            paths = [p for p in (args.ckpt, args.ckpt_2) if p]
+            enc_params, _ = assemble_infvideollama_params(enc_params, paths)
+        tokenizer = _load_tokenizer(args.llm)
+        dec_params = _load_decoder_params(args.llm, decoder, rng)
+        return LLaMAVideoQA(encoder, enc_params, decoder, dec_params, tokenizer,
+                            init_states=encoder.init_states), cfg
+
+
+def _load_tokenizer(llm_dir: str):
+    if llm_dir:
+        from transformers import AutoTokenizer
+
+        return AutoTokenizer.from_pretrained(llm_dir)
+    raise SystemExit("--llm is required (HF decoder directory with tokenizer)")
+
+
+def _load_decoder_params(llm_dir: str, decoder, rng):
+    import glob
+
+    from infinite_video_tpu.convert.checkpoints import load_torch_state_dict
+    from infinite_video_tpu.convert.decoder import convert_decoder_state_dict
+
+    sd = {}
+    patterns = ("pytorch_model*.bin", "*.pth")
+    for pat in patterns:
+        for shard in sorted(glob.glob(os.path.join(llm_dir, pat))):
+            sd.update(load_torch_state_dict(shard))
+    if not sd:
+        raise SystemExit(f"no decoder weights found under {llm_dir}")
+    return convert_decoder_state_dict(sd)
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+
+    from infinite_video_tpu.eval import drivers
+    from infinite_video_tpu.eval.protocol import run_name
+
+    engine, cfg = build_engine(args)
+    num_frames = args.max_int * args.num_samples \
+        if args.model == "videochat2" else args.max_int * args.num_samples
+    source = make_frame_source(args.video_folder, num_frames, args.max_int)
+
+    name = run_name(max_int=args.max_int, num_basis=args.num_basis,
+                    sticky=args.sticky, tau=args.tau, alpha=args.alpha)
+    if args.baseline:
+        name = f"nframes_{args.max_int}_baseline_normal"
+    out = os.path.join(args.output_dir, name, f"{args.benchmark}_preds.json")
+
+    def progress(i, total, key, pred):
+        print(f"[{i + 1}/{total}] {key}: {pred}", flush=True)
+
+    if args.benchmark == "nextqa":
+        stats = drivers.run_nextqa_mistral(engine, args.data_path, source, out,
+                                           progress)
+    elif args.benchmark == "nextqa-oe":
+        stats = drivers.run_nextqa_llama(engine, args.data_path, source, out,
+                                         progress)
+    elif args.benchmark == "egoschema":
+        stats = drivers.run_egoschema(engine, args.data_path, source, out,
+                                      progress)
+    elif args.benchmark == "videomme":
+        stats = drivers.run_videomme(engine, args.data_path, source, out,
+                                     subtitle_dir=args.subtitle_folder or None,
+                                     progress=progress)
+    else:
+        stats = drivers.run_moviechat_global(engine, args.data_path, source, out,
+                                             progress)
+    print(json.dumps(stats if isinstance(stats, dict) else {"done": True},
+                     default=str))
+
+
+if __name__ == "__main__":
+    main()
