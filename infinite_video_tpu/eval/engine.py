@@ -155,10 +155,13 @@ def _embed_segments_generic(decoder, params, tokenizer, segments, video_embs):
     return jnp.concatenate(mixed, axis=1)
 
 
-def _postprocess(tokenizer, tokens, split: str, role_tag: Optional[str] = None) -> str:
+def _postprocess(tokenizer, tokens, split: str, role_tag: Optional[str] = None,
+                 eos_id: int = 2) -> str:
     ids = [int(t) for t in np.asarray(tokens[0])]
     while ids and ids[0] in (0, 1):
         ids = ids[1:]
+    if eos_id in ids:  # cut at the first EOS (pad follows it)
+        ids = ids[: ids.index(eos_id)]
     text = tokenizer.decode(ids, skip_special_tokens=True)
     text = text.split(split)[0]
     if role_tag:

@@ -168,6 +168,8 @@ class Chat:
         # strip leading <unk>/<s> (conversation_video.py:180-184)
         while ids and ids[0] in (0, 1):
             ids = ids[1:]
+        if eos in ids:  # cut at the first EOS (pad follows it)
+            ids = ids[: ids.index(eos)]
         text = self.tokenizer.decode(ids, skip_special_tokens=True)
         text = text.split("###")[0].split("Assistant:")[-1].strip()
         conv.messages[-1][1] = text
