@@ -63,6 +63,28 @@ def default_config(chunk_len: int = 16, num_basis: int = 64, tau: float = 0.75,
     )
 
 
+def vicuna_config(**kw) -> VideoChat2Config:
+    """VC2 with Vicuna-7B (videochat_vicuna/*): same encoder stack, LLaMA
+    decoder, vicuna '###' prompt dialect handled by data/runtime layers."""
+    from infinite_video_tpu.models.decoder import llama7b_config
+
+    cfg = default_config(**kw)
+    return dataclasses.replace(cfg, decoder=llama7b_config(dtype=cfg.vit.dtype))
+
+
+def phi_config(**kw):
+    """VC2 with Phi-2 (videochat_phi/*). Returns (VideoChat2Config, PhiConfig):
+    the Phi decoder lives in models/phi.py (different architecture family)."""
+    from infinite_video_tpu.models.phi import phi2_config
+
+    cfg = default_config(**kw)
+    phi = phi2_config(dtype=cfg.vit.dtype)
+    cfg = dataclasses.replace(
+        cfg, decoder=dataclasses.replace(cfg.decoder,
+                                         hidden_size=phi.hidden_size))
+    return cfg, phi
+
+
 def tiny_config(chunk_len: int = 2, num_basis: int = 16) -> VideoChat2Config:
     ltm = LTMConfig(num_basis=num_basis, chunk_len=chunk_len, tokens_per_frame=196,
                     feature_dim=48, hidden_size=64, num_heads=4, tau=0.75,
