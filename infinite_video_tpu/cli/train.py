@@ -1,0 +1,146 @@
+"""Training launcher: stage-1 Q-former pretrain / stage-3 instruction tuning.
+
+Replaces the reference's task scripts (infty-VideoChat2/tasks/train_qformer.py,
+train_it.py, train_it_ds.py and the SLURM launchers under scripts/):
+
+  python -m infinite_video_tpu.cli.train --config cfg.yaml \\
+      --stage it --output-dir runs/stage3 model.alpha=0.75
+
+Config files support `_base_` inheritance and dotlist overrides
+(utils/config.py). On multi-host pods, run the same command on every host
+(jax.distributed discovers peers).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", required=True)
+    p.add_argument("--stage", choices=["qformer", "it"], default="it")
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--tp", type=int, default=1)
+    p.add_argument("overrides", nargs="*", help="dotlist key=value overrides")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from infinite_video_tpu.parallel.distributed import init_distributed
+    from infinite_video_tpu.parallel.mesh import make_mesh
+    from infinite_video_tpu.parallel.sharding import shard_params
+    from infinite_video_tpu.training.optim import (cosine_warmup_schedule,
+                                                   make_optimizer)
+    from infinite_video_tpu.training.runner import Runner, RunnerConfig
+    from infinite_video_tpu.training.trainer import TrainState, make_train_step
+    from infinite_video_tpu.utils.config import load_config
+    from infinite_video_tpu.utils.logging import setup_logger
+
+    rank, _ = init_distributed()
+    setup_logger(rank=rank)
+    cfg = load_config(args.config, args.overrides)
+    mesh = make_mesh(tp=args.tp)
+
+    if args.stage == "it":
+        from infinite_video_tpu.models import videochat2 as vc2
+        from infinite_video_tpu.models.decoder import Decoder
+
+        mcfg = vc2.default_config(
+            chunk_len=cfg.model.get("num_frames", 16),
+            num_basis=cfg.model.get("num_basis", 64),
+            tau=cfg.model.get("tau", 0.75),
+            alpha=cfg.model.get("alpha", 0.75),
+            sticky=cfg.model.get("sticky", True),
+            num_frames=cfg.model.get("num_frames", 16))
+        encoder = vc2.VideoChat2Encoder(mcfg)
+        decoder = Decoder(mcfg.decoder)
+
+        rng = jax.random.PRNGKey(cfg.get("seed", 42))
+        t = mcfg.vit.num_frames
+        enc_params = encoder.init(
+            rng, jnp.zeros((1, t, 224, 224, 3)), encoder.init_states(1),
+            instruction_ids=jnp.zeros((1, 4), jnp.int32))["params"]
+        dec_params = decoder.init(
+            jax.random.PRNGKey(1), input_ids=jnp.zeros((1, 4), jnp.int32)
+        )["params"]
+        if cfg.model.get("vit_blip_model_path") or cfg.model.get("videochat2_model_path"):
+            from infinite_video_tpu.convert.checkpoints import assemble_videochat2_params
+
+            paths = [p for p in (cfg.model.get("vit_blip_model_path"),
+                                 cfg.model.get("videochat2_model_path")) if p]
+            enc_params, maybe_dec = assemble_videochat2_params(
+                enc_params, paths, decoder_path=cfg.model.get("llm_path"))
+            if maybe_dec is not None:
+                dec_params = maybe_dec
+        with mesh:
+            params = {"encoder": shard_params(enc_params, mesh, rules=()),
+                      "decoder": shard_params(dec_params, mesh)}
+            sched = cosine_warmup_schedule(
+                cfg.optimizer.get("lr", 2e-5),
+                cfg.scheduler.get("warmup_steps", 100),
+                cfg.scheduler.get("total_steps", 10000))
+            tx = make_optimizer(
+                sched,
+                weight_decay=cfg.optimizer.get("weight_decay", 0.02),
+                max_grad_norm=cfg.optimizer.get("max_grad_norm", 1.0),
+                trainable_pattern=cfg.optimizer.get(
+                    "trainable_pattern", r"(qformer|query_tokens|_proj)"))
+            state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+            step = jax.jit(make_train_step(encoder, decoder, tx))
+
+            def make_loader(epoch, skip):
+                from infinite_video_tpu.data.loader import MetaLoader
+
+                loaders = _build_it_loaders(cfg, mcfg, epoch)
+                return MetaLoader(loaders, seed=cfg.get("seed", 42) + epoch,
+                                  skip_num=skip)
+
+            runner = Runner(RunnerConfig(output_dir=args.output_dir,
+                                         max_epochs=cfg.get("max_epochs", 1)),
+                            step, make_loader)
+            runner.fit(state)
+    else:
+        raise SystemExit("stage-1 launcher wiring requires dataset configs; "
+                         "use training/runner.py + models/videochat2_qformer.py "
+                         "directly (see tests/test_stage1_and_retrieval.py)")
+
+
+def _build_it_loaders(cfg, mcfg, epoch):
+    """Named batch loaders from cfg.datasets entries (ann/data_root/batch)."""
+    import numpy as np
+
+    from infinite_video_tpu.data.datasets import InstructionDataset, tokenize_conversation
+    from infinite_video_tpu.data.loader import StatefulShardSampler
+    from infinite_video_tpu.data.processors import train_processor
+
+    loaders = {}
+    for name, dcfg in cfg.get("datasets", {}).items():
+        ds = InstructionDataset(dcfg["ann_file"], dcfg["data_root"],
+                                train_processor(), num_frames=mcfg.vit.num_frames,
+                                dialect=dcfg.get("dialect", "mistral"))
+        sampler = StatefulShardSampler(len(ds), dcfg.get("batch_size", 1),
+                                       seed=epoch)
+
+        class _Loader:
+            def __init__(self, ds, sampler, bs):
+                self.ds, self.sampler, self.bs = ds, sampler, bs
+
+            def __len__(self):
+                return len(self.sampler) // self.bs
+
+            def __iter__(self):
+                batch = []
+                for i in self.sampler:
+                    batch.append(self.ds[i])
+                    if len(batch) == self.bs:
+                        yield batch
+                        batch = []
+
+        loaders[name] = _Loader(ds, sampler, dcfg.get("batch_size", 1))
+    return loaders
+
+
+if __name__ == "__main__":
+    main()
