@@ -46,6 +46,11 @@ class DecoderConfig:
     rms_eps: float = 1e-6
     sliding_window: Optional[int] = None
     dtype: jnp.dtype = jnp.bfloat16
+    # Pallas flash attention for full-sequence (no-cache, unpadded) forwards —
+    # training and loss paths with long video+text contexts. Decode steps and
+    # padded/windowed paths use the XLA einsum attention.
+    use_flash: bool = False
+    flash_interpret: bool = False  # test hook
 
     @property
     def head_dim(self) -> int:
@@ -161,12 +166,20 @@ class DecoderLayer(nn.Module):
             k_all = jnp.repeat(k_all, rep, axis=2)
             v_all = jnp.repeat(v_all, rep, axis=2)
 
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
-                            k_all.astype(jnp.float32)) / (hd ** 0.5)
-        scores = scores + mask_bias
-        probs = jax.nn.softmax(scores, axis=-1)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v_all.dtype), v_all)
-        ctx = ctx.reshape(b, s, h * hd)
+        if mask_bias is None:
+            # full-sequence causal path via the Pallas flash kernel
+            from infinite_video_tpu.ops.pallas.flash_attention import flash_attention
+
+            ctx = flash_attention(q, k_all, v_all, causal=True,
+                                  interpret=cfg.flash_interpret)
+            ctx = ctx.astype(v_all.dtype).reshape(b, s, h * hd)
+        else:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                                k_all.astype(jnp.float32)) / (hd ** 0.5)
+            scores = scores + mask_bias
+            probs = jax.nn.softmax(scores, axis=-1)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v_all.dtype), v_all)
+            ctx = ctx.reshape(b, s, h * hd)
         attn_out = nn.Dense(cfg.hidden_size, use_bias=False, dtype=cfg.dtype,
                             name="o_proj")(ctx.astype(cfg.dtype))
         x = res + attn_out
@@ -220,14 +233,18 @@ class Decoder(nn.Module):
         else:
             positions = jnp.arange(s)
             key_pos = jnp.arange(s)
-        # allowed(q, k) = causal, intersected with the sliding window if set.
-        allowed = key_pos[None, :] <= positions[:, None]
-        if cfg.sliding_window is not None:
-            allowed &= key_pos[None, :] > positions[:, None] - cfg.sliding_window
-        bias = jnp.where(allowed, 0.0, -1e9).astype(jnp.float32)[None, None]
-        if attention_mask is not None:
-            pad = 1.0 - attention_mask[:, None, None, :].astype(jnp.float32)
-            bias = bias + pad * -1e9
+        if (cfg.use_flash and cache is None and attention_mask is None
+                and cfg.sliding_window is None):
+            bias = None  # causal handled inside the flash kernel
+        else:
+            # allowed(q, k) = causal, intersected with the sliding window.
+            allowed = key_pos[None, :] <= positions[:, None]
+            if cfg.sliding_window is not None:
+                allowed &= key_pos[None, :] > positions[:, None] - cfg.sliding_window
+            bias = jnp.where(allowed, 0.0, -1e9).astype(jnp.float32)[None, None]
+            if attention_mask is not None:
+                pad = 1.0 - attention_mask[:, None, None, :].astype(jnp.float32)
+                bias = bias + pad * -1e9
 
         new_k, new_v = [], []
         for i in range(cfg.num_layers):

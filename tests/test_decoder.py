@@ -97,3 +97,18 @@ def test_sliding_window_masks_old_positions():
     logits2, _ = model.apply({"params": params}, input_ids=ids2)
     np.testing.assert_allclose(np.asarray(logits[:, -1]), np.asarray(logits2[:, -1]),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_flash_path_matches_einsum_path():
+    import dataclasses
+
+    cfg = _jax_cfg(True)
+    model = Decoder(cfg)
+    ids = jnp.asarray(np.random.default_rng(5).integers(0, 128, (2, 33)))
+    params = model.init(jax.random.PRNGKey(0), input_ids=ids)["params"]
+    ref, _ = model.apply({"params": params}, input_ids=ids)
+
+    fcfg = dataclasses.replace(cfg, use_flash=True, flash_interpret=True)
+    out, _ = Decoder(fcfg).apply({"params": params}, input_ids=ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
