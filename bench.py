@@ -23,7 +23,7 @@ import time
 NUM_BASIS = 256
 CHUNK_LEN = 8          # frames per chunk (EgoSchema recipe, README.md:47)
 TOKENS_PER_FRAME = 32
-NUM_CHUNKS = 64
+NUM_CHUNKS = 1024      # chain-length delta for timing (see _jax_fps)
 STICKY = True
 # Fused Pallas integral kernel (ops/pallas/ltm_fused.py): measured 60 vs 72
 # us/chunk against the XLA path on v5e.
@@ -36,13 +36,16 @@ PINNED_CPU_BASELINE_FPS = None  # resolved at first run; see _torch_baseline
 
 
 def _jax_fps() -> float:
-    """Per-chunk time via chain-length differencing with fresh inputs.
+    """Per-chunk time via chain-length differencing, chunks generated on-device.
 
     On tunneled TPU runtimes `block_until_ready` can return before remote
     execution finishes and identical (executable, inputs) pairs may be served
-    from a relay cache. The scan over chunks is a true dependency chain
-    (LTM state carry), so timing t(N2)-t(N1) with a scalar readback and fresh
-    random chunks per trial measures real execution.
+    from a relay cache, so: (a) every trial uses a fresh seed, (b) the scan is
+    a true dependency chain (LTM state carry), (c) a scalar readback
+    synchronises, and (d) two chain lengths are differenced to cancel the
+    dispatch+readback latency. Chunk data is drawn inside the scan body from
+    the carried PRNG key so chains can be long enough (~1000 steps) for the
+    compute signal to dominate readback jitter without host-side data.
     """
     from functools import partial
 
@@ -66,35 +69,28 @@ def _jax_fps() -> float:
     queries = jax.random.normal(kq, (1, 32, 768)) * 0.5
 
     @partial(jax.jit, static_argnames="n")
-    def stream(params, chunks, queries, key, n):
-        def step(carry, chunk):
+    def stream(params, queries, seed, n):
+        def step(carry, _):
             state, key = carry
-            key, sub = jax.random.split(key)
+            key, sub, kd = jax.random.split(key, 3)
+            chunk = jax.random.normal(
+                kd, (1, CHUNK_LEN * TOKENS_PER_FRAME, 768)) * 0.5
             ctx, state = ltm.ltm_attend(cfg, params, state, chunk, queries, sub)
             return (state, key), ctx.sum()
 
-        init = (ltm.init_state(cfg, 1), key)
-        (_, _), sums = jax.lax.scan(step, init, chunks[:n])
+        init = (ltm.init_state(cfg, 1), jax.random.PRNGKey(seed))
+        (_, _), sums = jax.lax.scan(step, init, None, length=n)
         return sums.sum()
 
-    n_small, n_large = 4, 4 + NUM_CHUNKS
-
-    def fresh_chunks(seed):
-        return jax.random.normal(
-            jax.random.PRNGKey(seed),
-            (n_large, 1, CHUNK_LEN * TOKENS_PER_FRAME, 768)) * 0.5
-
-    warm = fresh_chunks(999)
+    n_small, n_large = 16, 16 + NUM_CHUNKS
     for n in (n_small, n_large):
-        float(stream(params, warm, queries, jax.random.PRNGKey(1), n))
+        float(stream(params, queries, 999, n))  # compile
 
     def run(n, trials=3):
         best = float("inf")
         for t in range(trials):
-            ch = fresh_chunks(1000 * n + t)
-            float(ch[0, 0, 0, 0])  # materialize inputs before timing
             t0 = time.perf_counter()
-            float(stream(params, ch, queries, jax.random.PRNGKey(t), n))
+            float(stream(params, queries, 1000 * n + t, n))
             best = min(best, time.perf_counter() - t0)
         return best
 

@@ -51,6 +51,7 @@ class DecoderConfig:
     # padded/windowed paths use the XLA einsum attention.
     use_flash: bool = False
     flash_interpret: bool = False  # test hook
+    remat: bool = False            # rematerialize layers (training memory)
 
     @property
     def head_dim(self) -> int:
@@ -246,12 +247,14 @@ class Decoder(nn.Module):
                 pad = 1.0 - attention_mask[:, None, None, :].astype(jnp.float32)
                 bias = bias + pad * -1e9
 
+        layer_cls = nn.remat(DecoderLayer) if (cfg.remat and cache is None) \
+            else DecoderLayer
         new_k, new_v = [], []
         for i in range(cfg.num_layers):
             ck = cache.k[i] if cache is not None else None
             cv = cache.v[i] if cache is not None else None
             cp = cache.pos if cache is not None else None
-            x, ck, cv = DecoderLayer(cfg, name=f"layer_{i}")(
+            x, ck, cv = layer_cls(cfg, name=f"layer_{i}")(
                 x, positions, bias, ck, cv, cp)
             if cache is not None:
                 new_k.append(ck)

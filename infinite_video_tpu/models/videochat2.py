@@ -158,5 +158,33 @@ class VideoChat2Encoder(nn.Module):
         out = self.mistral_proj(hidden[:, : q.shape[1]])
         return out, new_states
 
+    def encode_hd(
+        self,
+        tiles: jnp.ndarray,                       # [n_tiles, T, H, W, C]
+        ltm_states: Tuple = (),
+        instruction_ids: Optional[jnp.ndarray] = None,
+        instruction_mask: Optional[jnp.ndarray] = None,
+        ltm_rng: Optional[jax.Array] = None,
+        ltm_on: bool = True,
+    ):
+        """HD dynamic-resolution path (videochat2_it_hd_mistral.py:193-299).
+
+        Each 224px tile (from data/hd_utils.py, optionally + a global
+        thumbnail) is a separate batch element through the ViT and Q-former —
+        per-tile LTM memories — and the per-tile query outputs are
+        concatenated into one [1, n_tiles*Q, llm_width] sequence, exactly the
+        reference's `qformer_features.view(1, -1, C)` assembly.
+        """
+        if instruction_ids is not None and instruction_ids.shape[0] == 1:
+            instruction_ids = jnp.tile(instruction_ids, (tiles.shape[0], 1))
+            if instruction_mask is not None:
+                instruction_mask = jnp.tile(instruction_mask, (tiles.shape[0], 1))
+        out, new_states = self(tiles, ltm_states,
+                               instruction_ids=instruction_ids,
+                               instruction_mask=instruction_mask,
+                               ltm_rng=ltm_rng, ltm_on=ltm_on)
+        nt, q, c = out.shape
+        return out.reshape(1, nt * q, c), new_states
+
     def init_states(self, batch: int = 1):
         return init_ltm_states(self.cfg.qformer, batch)

@@ -45,3 +45,16 @@ def stream_mean_embedding(encode_chunk, init_states, chunks, rng=None):
     run_inference_inf_video_llama_nextqa.py:194, run_nextqa_mistral.py:152)."""
     embs, final_states = stream_chunks(encode_chunk, init_states, chunks, rng)
     return jnp.mean(embs, axis=0), final_states
+
+
+def stream_until(encode_chunk, init_states, chunks, num_valid, rng=None):
+    """Breakpoint mode: encode all chunks but mean only the first `num_valid`
+    (question asked at time t ⇒ memory/context from the video prefix only —
+    MovieChat-style middle-video QA, infinityqa.py:233-236). `num_valid` may
+    be traced, so one compilation serves every breakpoint."""
+    embs, final_states = stream_chunks(encode_chunk, init_states, chunks, rng)
+    idx = jnp.arange(embs.shape[0])
+    mask = (idx < num_valid).astype(embs.dtype)
+    mask = mask.reshape((-1,) + (1,) * (embs.ndim - 1))
+    mean = (embs * mask).sum(0) / jnp.maximum(num_valid, 1)
+    return mean, final_states

@@ -89,3 +89,33 @@ def test_videochat2_baseline_flag():
     e2, _ = model.apply({"params": params}, pixels, (), instruction_ids=ids,
                         ltm_on=False)
     np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+
+def test_videochat2_hd_tiles_as_batch():
+    cfg, model, params, _, ids = _vc2_setup()
+    # 3 tiles (e.g. 2 spatial + 1 global thumbnail), 2 frames each
+    tiles = jax.random.normal(jax.random.PRNGKey(9), (3, 2, 224, 224, 3)) * 0.3
+    states = vc2.init_ltm_states(cfg.qformer, 3)
+    out, states = model.apply({"params": params}, tiles, states,
+                              instruction_ids=ids,
+                              method=model.encode_hd)
+    assert out.shape == (1, 3 * cfg.total_query_tokens, cfg.decoder.hidden_size)
+    assert states[0].B.shape[0] == 3  # per-tile memories
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_stream_until_breakpoint():
+    from infinite_video_tpu.runtime.streaming import stream_until
+
+    cfg, model, params, _ = _ivl_setup()
+    chunks = jax.random.normal(jax.random.PRNGKey(4), (4, 1, 4, 28, 28, 3)) * 0.3
+
+    def enc(chunk, states, rng):
+        return model.apply({"params": params}, chunk, states, ltm_rng=rng)
+
+    full, _ = stream_until(enc, ivl.init_ltm_states(cfg.video_qformer, 1),
+                           chunks, jnp.asarray(4))
+    half, _ = stream_until(enc, ivl.init_ltm_states(cfg.video_qformer, 1),
+                           chunks, jnp.asarray(2))
+    assert np.isfinite(np.asarray(half)).all()
+    assert np.abs(np.asarray(full) - np.asarray(half)).max() > 1e-6
