@@ -53,6 +53,10 @@ def build_argparser():
     p.add_argument("--llm", default="", help="HF decoder directory")
     p.add_argument("--lora", default="")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--num-shards", type=int, default=0,
+                   help="shard questions across hosts (0 = jax.process_count)")
+    p.add_argument("--shard-id", type=int, default=-1,
+                   help="-1 = jax.process_index")
     return p
 
 
@@ -185,15 +189,23 @@ def main(argv=None):
     def progress(i, total, key, pred):
         print(f"[{i + 1}/{total}] {key}: {pred}", flush=True)
 
+    import jax as _jax
+
+    n_shards = args.num_shards or _jax.process_count()
+    shard_id = args.shard_id if args.shard_id >= 0 else _jax.process_index()
+    shard = (shard_id, n_shards) if n_shards > 1 else None
+    if shard:
+        out = out.replace(".json", f".shard{shard_id}of{n_shards}.json")
+
     if args.benchmark == "nextqa":
         stats = drivers.run_nextqa_mistral(engine, args.data_path, source, out,
-                                           progress)
+                                           progress, shard=shard)
     elif args.benchmark == "nextqa-oe":
         stats = drivers.run_nextqa_llama(engine, args.data_path, source, out,
                                          progress)
     elif args.benchmark == "egoschema":
         stats = drivers.run_egoschema(engine, args.data_path, source, out,
-                                      progress)
+                                      progress, shard=shard)
     elif args.benchmark == "videomme":
         stats = drivers.run_videomme(engine, args.data_path, source, out,
                                      subtitle_dir=args.subtitle_folder or None,

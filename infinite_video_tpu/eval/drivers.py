@@ -101,10 +101,19 @@ def _mc_question_loop(engine, samples, frame_source, store: PredictionStore,
             progress(i, len(samples), s["qid"], pred)
 
 
+def _shard(samples, shard):
+    """Multi-host sweep: host i of n handles samples[i::n] (replaces the
+    reference's SLURM fan-out scripts); predictions merge by key."""
+    if shard is None:
+        return samples
+    i, n = shard
+    return samples[i::n]
+
+
 def run_nextqa_mistral(engine, anno_csv: str, frame_source, out_path: str,
-                       progress=None) -> Dict:
+                       progress=None, shard=None) -> Dict:
     """∞-VideoChat2 NExT-QA MC protocol (run_nextqa_mistral.py:536-611)."""
-    samples = load_igvlm_csv(anno_csv)
+    samples = _shard(load_igvlm_csv(anno_csv), shard)
     store = PredictionStore(out_path)
     _mc_question_loop(engine, samples, frame_source, store,
                       system=MC_SYSTEM_PROMPT,
@@ -142,11 +151,11 @@ def run_nextqa_llama(engine, anno_csv: str, frame_source, out_path: str,
 
 
 def run_egoschema(engine, anno_csv: str, frame_source, out_path: str,
-                  progress=None) -> Dict:
+                  progress=None, shard=None) -> Dict:
     """EgoSchema MC; accuracy via exact-option matching; predictions JSON is
     also the official-server submission payload ({qid: option_index},
     validate/egoschema_acc.py:16-25)."""
-    samples = load_igvlm_csv(anno_csv)
+    samples = _shard(load_igvlm_csv(anno_csv), shard)
     store = PredictionStore(out_path)
     _mc_question_loop(engine, samples, frame_source, store,
                       system=MC_SYSTEM_PROMPT,

@@ -81,3 +81,27 @@ def test_sticky_mass_normalised():
     assert m.shape == (1, 127)
     np.testing.assert_allclose(m.sum(), 1.0, rtol=1e-5)
     assert (m >= 0).all()
+
+
+def test_sticky_n256_l256_recipe_geometry():
+    """NExT-QA recipe geometry (max_int=256, num_basis=256, sticky)."""
+    _run_fixture("ltm_sticky_n256_l256.npz")
+
+
+def test_gibbs_density_stable_where_raw_exp_overflows():
+    """Divergence-by-design: the reference exponentiates raw scores
+    (gibbs:248) and overflows for large-magnitude inputs; our max-subtracted
+    density is analytically identical and stays finite."""
+    import jax.numpy as jnp
+
+    from infinite_video_tpu.ops import ltm as ltm_mod
+
+    cfg = ltm_mod.LTMConfig(num_basis=64, chunk_len=16, sticky=False)
+    d = np.load(os.path.join(GOLDEN_DIR, "ltm_uniform_n64_l16.npz"))
+    params = _params(d)
+    state = ltm_mod.init_state(cfg, 1)
+    big_q = jnp.asarray(d["q"]) * 300.0       # drives z(t) past exp overflow
+    big_k = jnp.asarray(d["k0"]) * 300.0
+    ctx, state = ltm_mod.ltm_attend(cfg, params, state, big_k, big_q)
+    assert np.isfinite(np.asarray(ctx)).all()
+    assert np.isfinite(np.asarray(state.sticky_mass)).all()
