@@ -206,7 +206,7 @@ class QFormerLayer(nn.Module):
         new_state = ltm_state
         if query_length > 0:
             q_out = attn_out[:, :query_length]
-            if self.has_cross:
+            if self.has_cross and encoder_hidden_states is not None:
                 q_out, new_state = MultiHeadAttention(
                     cfg, is_cross=True, name="crossattention"
                 )(
@@ -250,6 +250,7 @@ class QFormer(nn.Module):
         ltm_rng: Optional[jax.Array] = None,
         deterministic: bool = True,
         ltm_on: bool = True,
+        causal_text: bool = False,
     ):
         cfg = self.cfg
         batch = query_embeds.shape[0]
@@ -274,6 +275,14 @@ class QFormer(nn.Module):
         if attention_mask is None:
             attention_mask = jnp.ones((batch, seq_len), jnp.float32)
         self_bias = (1.0 - attention_mask[:, None, None, :]) * -10000.0
+        if causal_text:
+            # BLIP-2 LM mode (BertModel is_decoder with has_query,
+            # Qformer.py:826-860): query rows attend to all queries; text rows
+            # attend to every query token plus the causal text prefix.
+            pos = jnp.arange(seq_len)
+            is_text_col = pos >= query_length
+            causal_ok = (~is_text_col[None, :]) | (pos[None, :] <= pos[:, None])
+            self_bias = self_bias + jnp.where(causal_ok, 0.0, -10000.0)[None, None]
 
         enc_bias = None
         if encoder_hidden_states is not None:

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import optax
 
 __all__ = ["get_sim", "vtc_loss", "vtm_hard_negative_indices", "vtm_loss",
-           "mlm_loss", "mask_tokens"]
+           "mlm_loss", "mask_tokens", "cap_loss"]
 
 
 def _normalize(x, axis=-1):
@@ -144,3 +144,12 @@ def mlm_loss(logits, labels) -> jnp.ndarray:
     safe = jnp.where(labels == -100, 0, labels)
     ll = optax.softmax_cross_entropy_with_integer_labels(logits, safe)
     return (ll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+
+def cap_loss(logits, text_labels) -> jnp.ndarray:
+    """Caption LM loss over the Q-former text stream in causal mode
+    (videochat2_qformer.py:343-371): shifted next-token cross entropy with
+    -100 masking. `logits` cover the text positions only."""
+    shift_logits = logits[:, :-1]
+    shift_labels = text_labels[:, 1:]
+    return mlm_loss(shift_logits, shift_labels)

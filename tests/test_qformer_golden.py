@@ -83,3 +83,29 @@ def test_param_tree_covers_checkpoint():
     assert not missing, f"converter missed params: {sorted(missing)[:10]}"
     extra = got_paths - ref_paths
     assert not extra, f"converter produced unknown params: {sorted(extra)[:10]}"
+
+
+def test_causal_text_mode_blocks_future_tokens():
+    """LM mode: text logits must not depend on future text tokens, and query
+    tokens must not see text at all."""
+    import jax
+
+    d, sd = _load("vc2text")
+    cfg = _make_cfg(d)
+    params = convert_qformer_state_dict(sd)
+    model = QFormer(cfg)
+    query = jnp.asarray(d["query"])
+    ids = jnp.asarray(d["input_ids"])
+
+    out1, _ = model.apply({"params": params}, query_embeds=query,
+                          input_ids=ids, causal_text=True, ltm_on=False)
+    ids2 = ids.at[0, -1].set((ids[0, -1] + 1) % 30522)
+    out2, _ = model.apply({"params": params}, query_embeds=query,
+                          input_ids=ids2, causal_text=True, ltm_on=False)
+    q = query.shape[1]
+    # queries and all text positions before the changed token are unaffected
+    np.testing.assert_allclose(np.asarray(out1[:, : q + ids.shape[1] - 1]),
+                               np.asarray(out2[:, : q + ids.shape[1] - 1]),
+                               rtol=1e-5, atol=1e-6)
+    # the changed position itself differs
+    assert np.abs(np.asarray(out1[:, -1]) - np.asarray(out2[:, -1])).max() > 1e-4
