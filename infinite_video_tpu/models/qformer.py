@@ -316,6 +316,11 @@ class QFormer(nn.Module):
                 if use_ltm:
                     new_states.append(new_state)
                 cross_idx += 1
+        if not use_ltm:
+            # Pass states through untouched so scan carries keep their
+            # structure when the LTM is gated off (alpha == 1.0, baseline
+            # mode, or ltm_on=False).
+            return hidden, tuple(ltm_states)
         return hidden, tuple(new_states)
 
 

@@ -119,3 +119,29 @@ def test_stream_until_breakpoint():
                            chunks, jnp.asarray(2))
     assert np.isfinite(np.asarray(half)).all()
     assert np.abs(np.asarray(full) - np.asarray(half)).max() > 1e-6
+
+
+def test_alpha1_recipe_states_pass_through_scan():
+    """alpha=1.0 (the README recipe) gates the LTM off; states must pass
+    through unchanged so the streaming scan carry keeps its structure."""
+    import dataclasses
+
+    cfg = ivl.tiny_config()
+    vq = dataclasses.replace(cfg.video_qformer, alpha=1.0)
+    cfg = dataclasses.replace(cfg, video_qformer=vq)
+    model = ivl.InfVideoLLaMAEncoder(cfg)
+    pixels = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 28, 28, 3)) * 0.3
+    states = ivl.init_ltm_states(cfg.video_qformer, 1)
+    params = model.init(jax.random.PRNGKey(0), pixels, states)["params"]
+
+    @jax.jit
+    def run(params, chunks):
+        def enc(chunk, states, rng):
+            return model.apply({"params": params}, chunk, states, ltm_rng=rng)
+        return stream_mean_embedding(enc, ivl.init_ltm_states(cfg.video_qformer, 1),
+                                     chunks)
+
+    chunks = jax.random.normal(jax.random.PRNGKey(2), (3, 1, 4, 28, 28, 3)) * 0.3
+    emb, final_states = run(params, chunks)
+    assert int(final_states[0].step) == 0  # untouched memory
+    assert np.isfinite(np.asarray(emb)).all()
