@@ -105,3 +105,26 @@ def test_gibbs_density_stable_where_raw_exp_overflows():
     ctx, state = ltm_mod.ltm_attend(cfg, params, state, big_k, big_q)
     assert np.isfinite(np.asarray(ctx)).all()
     assert np.isfinite(np.asarray(state.sticky_mass)).all()
+
+
+def test_vc2_pooling_variant():
+    """VC2-side LTM: 14x14-patch mean pooling, 1024-wide features, 96 queries
+    (infty-VideoChat2/models/blip2/long_term_attention_gibbs.py:291,304)."""
+    import jax.numpy as jnp
+
+    from infinite_video_tpu.ops import ltm as ltm_mod
+
+    d = np.load(os.path.join(GOLDEN_DIR, "ltm_vc2_n64_l4.npz"))
+    cfg = ltm_mod.LTMConfig(num_basis=64, chunk_len=4, tokens_per_frame=196,
+                            feature_dim=1024, hidden_size=768, num_heads=12,
+                            tau=0.75, sticky=False)
+    params = _params(d)
+    q = jnp.asarray(d["q"])
+    state = ltm_mod.init_state(cfg, 1)
+    for i in range(2):
+        ctx, state = ltm_mod.ltm_attend(cfg, params, state,
+                                        jnp.asarray(d[f"k{i}"]), q)
+        np.testing.assert_allclose(np.asarray(state.B), d[f"B{i}"],
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(ctx), d[f"ctx{i}"],
+                                   rtol=2e-4, atol=2e-5)
