@@ -127,10 +127,15 @@ class MistralVideoQA:
                question_prompt: str = "", answer_prompt: str = "",
                return_prompt: str = "", max_new_tokens: int = 100,
                do_sample: bool = False, rng=None) -> str:
-        """[INST] protocol with answer-prompt suffix (run_nextqa_mistral.py:202-299)."""
-        sep = " "
-        prompt = (f"{system}{sep}[INST] <Video><VideoHere></Video> [/INST] {sep}"
-                  f"[INST] {question}{question_prompt} {sep}[/INST] {answer_prompt}")
+        """[INST] protocol with answer-prompt suffix (run_nextqa_mistral.py:202-299).
+
+        Exact get_prompt2 assembly with the eval chat's sep="" :
+        "{system}[INST] <Video><VideoHere></Video> [/INST] [INST] {q}{qp} [/INST] {ap}"
+        (the system text goes to the Q-former; system_llm=False keeps it out
+        of the LLM prompt by passing system="" here, run_nextqa_mistral.py:568-571).
+        """
+        prompt = (f"{system}[INST] <Video><VideoHere></Video> [/INST] "
+                  f"[INST] {question}{question_prompt} [/INST] {answer_prompt}")
         segs = prompt.split("<VideoHere>")
         embs = _embed_segments_generic(self.decoder, self.dec_params,
                                        self.tokenizer, segs, [video_emb])
