@@ -24,9 +24,7 @@ def main(argv=None):
     from infinite_video_tpu.cli.infer import build_argparser
 
     p = build_argparser()
-    p.add_argument("--breakpoint", default="",
-                   help="mm:ss — answer from the video prefix up to this time")
-    # --question is interactive here
+    # --question is interactive here (infer's parser provides --breakpoint)
     for a in p._actions:
         if a.dest == "question":
             a.required = False
@@ -43,8 +41,8 @@ def main(argv=None):
     # Build the engine through the infer module's path by asking one dummy
     # question setup; reuse its model construction by calling main() pieces is
     # messy, so we just re-run per question via the engine it builds.
-    print("Loading model + encoding video (first question compiles; later "
-          "questions reuse the cached computation)...")
+    print("Chat over", args.video_path,
+          "(each question runs the full pipeline; type 'exit' to quit)")
 
     history = []
     while True:
@@ -56,6 +54,7 @@ def main(argv=None):
             break
         answer = infer_mod.main([
             "--video-path", args.video_path, "--question", q,
+            *(["--breakpoint", args.breakpoint] if args.breakpoint else []),
             *(["--smoke"] if args.smoke else []),
             *(["--ckpt", args.ckpt] if args.ckpt else []),
             *(["--ckpt-2", args.ckpt_2] if args.ckpt_2 else []),

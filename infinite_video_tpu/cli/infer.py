@@ -44,6 +44,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--smoke", action="store_true",
                    help="random weights, tiny geometry (pipeline smoke test)")
+    p.add_argument("--breakpoint", default="",
+                   help="mm:ss — answer from the video prefix up to this "
+                        "timestamp only (MovieChat-style middle-video QA)")
     return p
 
 
@@ -66,11 +69,19 @@ def main(argv=None):
         n_frames = args.max_int * args.n_samples
         image_size = 224
 
-    frames = read_video_frames(args.video_path, n_frames)
+    frames, fps, indices = read_video_frames(args.video_path, n_frames,
+                                             return_fps=True)
     frames = eval_processor(image_size)(frames)
     chunk_len = (cfg.video_qformer.ltm.chunk_len if cfg.video_qformer.ltm
                  else args.max_int)
     chunks = chunk_frames(frames, chunk_len)
+    if getattr(args, "breakpoint", ""):
+        # keep only chunks whose frames fall before the breakpoint timestamp
+        mm, ss = args.breakpoint.split(":")
+        t_break = 60 * int(mm) + float(ss)
+        frame_times = [i / fps for i in indices[: chunks.shape[0] * chunk_len]]
+        valid = sum(1 for t in frame_times[::chunk_len] if t <= t_break)
+        chunks = chunks[: max(1, valid)]
 
     encoder = ivl.InfVideoLLaMAEncoder(cfg)
     decoder = Decoder(cfg.decoder)

@@ -108,13 +108,16 @@ def main(argv=None):
 
 
 def _build_it_loaders(cfg, mcfg, epoch):
-    """Named batch loaders from cfg.datasets entries (ann/data_root/batch)."""
-    import numpy as np
+    """Named batch loaders from cfg.datasets entries (ann/data_root/batch);
+    each yields collated train-step dicts (training/collate.py)."""
+    from transformers import AutoTokenizer
 
-    from infinite_video_tpu.data.datasets import InstructionDataset, tokenize_conversation
+    from infinite_video_tpu.data.datasets import InstructionDataset
     from infinite_video_tpu.data.loader import StatefulShardSampler
     from infinite_video_tpu.data.processors import train_processor
+    from infinite_video_tpu.training.collate import collate_it_batch
 
+    tokenizer = AutoTokenizer.from_pretrained(cfg.model["llm_path"])
     loaders = {}
     for name, dcfg in cfg.get("datasets", {}).items():
         ds = InstructionDataset(dcfg["ann_file"], dcfg["data_root"],
@@ -135,7 +138,9 @@ def _build_it_loaders(cfg, mcfg, epoch):
                 for i in self.sampler:
                     batch.append(self.ds[i])
                     if len(batch) == self.bs:
-                        yield batch
+                        yield collate_it_batch(
+                            batch, tokenizer,
+                            num_query_tokens=mcfg.total_query_tokens)
                         batch = []
 
         loaders[name] = _Loader(ds, sampler, dcfg.get("batch_size", 1))

@@ -21,26 +21,46 @@ def _to_np(w):
                       if hasattr(w, "detach") else w, dtype=np.float32)
 
 
+def _canon(key: str) -> str:
+    """Strip peft/wrapper prefixes so adapter keys match HF base names.
+
+    Real stage-3 checkpoints name adapters
+    `mistral_model.base_model.model.model.layers...` while the base weights
+    use `model.layers...` (videochat2_it_mistral.py wraps with get_peft_model).
+    """
+    for pre in ("mistral_model.", "llama_model.", "phi_model."):
+        if key.startswith(pre):
+            key = key[len(pre):]
+    if key.startswith("base_model.model."):
+        key = key[len("base_model.model."):]
+    return key.replace(".base_layer.", ".")
+
+
 def merge_lora(state_dict, lora_alpha: float, r: int) -> Dict:
     """Fold peft LoRA weights into their base matrices.
 
     peft names: `...<proj>.lora_A.weight` [r, in], `...<proj>.lora_B.weight`
     [out, r], base at `...<proj>.base_layer.weight` (or plain `.weight`).
+    Keys are canonicalised (peft wrapper prefixes stripped) before matching,
+    so adapters from a wrapped checkpoint merge into HF-named base weights.
     """
     out = {}
     lora_a, lora_b = {}, {}
     for k, w in state_dict.items():
-        if ".lora_A." in k:
-            lora_a[k.split(".lora_A.")[0]] = _to_np(w)
-        elif ".lora_B." in k:
-            lora_b[k.split(".lora_B.")[0]] = _to_np(w)
+        ck = _canon(k)
+        if ".lora_A." in ck:
+            lora_a[ck.split(".lora_A.")[0]] = _to_np(w)
+        elif ".lora_B." in ck:
+            lora_b[ck.split(".lora_B.")[0]] = _to_np(w)
         else:
-            out[k.replace(".base_layer.", ".")] = w
+            out[ck] = w
     scale = lora_alpha / r
     for base, A in lora_a.items():
         B = lora_b[base]
         key = f"{base}.weight"
-        key = key.replace(".base_layer.", ".")
+        if key not in out:
+            raise KeyError(f"LoRA adapter '{base}' has no base weight "
+                           f"'{key}' in the merged state dict")
         out[key] = _to_np(out[key]) + scale * (B @ A)
     return out
 

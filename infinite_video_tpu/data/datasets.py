@@ -68,7 +68,8 @@ def tokenize_conversation(tokenizer, conversation: str, *,
     lengths and unmasks only answer spans (videochat2_it_mistral.py:258-352).
     """
     open_tag, close_tag = assistant_pattern
-    ids = tokenizer(conversation, add_special_tokens=True)["input_ids"][:max_len]
+    full_ids = tokenizer(conversation, add_special_tokens=True)["input_ids"]
+    ids = full_ids[:max_len]
     labels = np.full(len(ids), -100, np.int64)
 
     # walk the text, mapping answer character spans to token spans
@@ -88,7 +89,9 @@ def tokenize_conversation(tokenizer, conversation: str, *,
     def tok_len(text):
         return len(tokenizer(text, add_special_tokens=False)["input_ids"])
 
-    bos = len(ids) - tok_len(conversation)
+    # BOS offset from the UNtruncated length — spans past max_len are clipped
+    # below, but earlier spans must not shift when the tail is cut off.
+    bos = len(full_ids) - tok_len(conversation)
     for cs, ce in spans:
         ts = bos + tok_len(conversation[:cs])
         te = bos + tok_len(conversation[:ce])

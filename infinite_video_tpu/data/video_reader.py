@@ -28,18 +28,33 @@ __all__ = ["sample_indices", "read_video_frames", "chunk_frames", "frame_message
 
 def sample_indices(vlen: int, n_frames: int, sampling: str = "uniform",
                    rng: Optional[random.Random] = None) -> List[int]:
-    n = min(n_frames, vlen)
+    """Always returns exactly n_frames indices.
+
+    For videos shorter than n_frames, indices repeat — the VC2 `get_index`
+    behaviour (run_nextqa_mistral.py:485-491 never caps), which keeps the
+    chunk geometry static so one compilation serves every video and no empty
+    chunk lists (⇒ NaN means) can occur. The LLaMA-side reference instead
+    truncates to vlen (video_processor.py:32) and would break its own fixed
+    chunking on short videos — a reference bug not replicated.
+    """
     if sampling == "uniform":
-        return np.arange(0, vlen, vlen / n).astype(int).tolist()[:n]
+        if n_frames <= vlen:
+            n = n_frames
+            return np.arange(0, vlen, vlen / n).astype(int).tolist()[:n]
+        return np.linspace(0, vlen - 1, n_frames).astype(int).tolist()
     if sampling == "middle":
-        seg = float(vlen - 1) / n
+        seg = float(vlen - 1) / n_frames
         start = int(seg / 2)
-        return [start + int(np.round(seg * i)) for i in range(n)]
+        return [start + int(np.round(seg * i)) for i in range(n_frames)]
     if sampling == "headtail":
+        n = min(n_frames, vlen)
         rng = rng or random
         head = sorted(rng.sample(range(vlen // 2), n // 2))
         tail = sorted(rng.sample(range(vlen // 2, vlen), n // 2))
-        return head + tail
+        idx = head + tail
+        while len(idx) < n_frames:
+            idx.append(idx[-1])
+        return idx
     raise NotImplementedError(sampling)
 
 

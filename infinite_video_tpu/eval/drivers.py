@@ -43,12 +43,21 @@ MC_SYSTEM_PROMPT = (
 
 
 def load_igvlm_csv(path: str) -> List[Dict]:
-    """IG-VLM multiple-choice CSV -> [{video, qid, question, answer, options}]."""
+    """IG-VLM multiple-choice CSV -> [{video, qid, type, question, answer, …}].
+
+    The header row is parsed to locate the NExT-QA question-type column (the
+    reference's grouped accuracy reads it by name via pandas,
+    run_nextqa_mistral.py:403); absent a type column (EgoSchema), type is ''.
+    """
     out = []
     with open(path, encoding="utf-8") as f:
         reader = csv.reader(f)
+        type_col = None
         for idx, msg in enumerate(reader):
             if idx == 0:
+                header = [h.strip().lower() for h in msg]
+                if "type" in header:
+                    type_col = header.index("type")
                 continue
             q = f"Question: {msg[4].capitalize()}\nOptions:\n"
             for i, cand in enumerate(msg[8:]):
@@ -57,6 +66,7 @@ def load_igvlm_csv(path: str) -> List[Dict]:
             out.append({
                 "video": msg[0] + ".mp4",
                 "qid": f"{msg[0]}_{msg[6]}",
+                "type": msg[type_col] if type_col is not None else "",
                 "question": q.strip(),
                 "answer": f"({chr(ord('A') + target)})",
                 "answer_content": msg[8 + target],
@@ -121,7 +131,7 @@ def run_nextqa_mistral(engine, anno_csv: str, frame_source, out_path: str,
                       answer_prompt="Best option:(", return_prompt="(",
                       progress=progress)
     rows = [{"video": s["qid"].rsplit("_", 1)[0], "qid": s["qid"].rsplit("_", 1)[1],
-             "type": s.get("type", "DO")} for s in samples]
+             "type": s.get("type") or "DO"} for s in samples]
     stats = eval_qa_nextqa(rows, store.data)
     store.finalize(stats)
     return stats

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from infinite_video_tpu.models.qformer import QFormer, QFormerConfig
+from infinite_video_tpu.models.qformer import QFormer, QFormerConfig, QFormerLMHead
 from infinite_video_tpu.models.vit import ViTConfig, VisionTransformer
 from infinite_video_tpu.training import criterions
 
@@ -41,6 +41,8 @@ class QFormerPretrainConfig:
     loss_vtc: float = 1.0
     loss_vtm: float = 1.0
     loss_mlm: float = 1.0
+    mlm_prob: float = 0.15
+    mask_token_id: int = 103          # bert-base [MASK]
 
 
 class VideoChat2QFormerPretrain(nn.Module):
@@ -56,6 +58,7 @@ class VideoChat2QFormerPretrain(nn.Module):
         self.vision_proj = nn.Dense(cfg.embed_dim, name="vision_proj")
         self.text_proj = nn.Dense(cfg.embed_dim, name="text_proj")
         self.itm_head = nn.Dense(2, name="itm_head")
+        self.lm_head = QFormerLMHead(cfg.qformer, name="lm_head")
         self.temp = self.param("temp", nn.initializers.constant(cfg.temp_init), ())
 
     def clamped_temp(self):
@@ -114,5 +117,25 @@ class VideoChat2QFormerPretrain(nn.Module):
                 lambda v, ids, atts: self.vtm_embed(v, ids, atts),
                 self.itm_head, rng, vision_feats, text_ids, text_mask,
                 vision_p.mean(1), text_p, idx, temp, cfg.vtm_hard_neg)
+        if cfg.loss_mlm:
+            # Masked LM over the text stream with vision-conditioned queries
+            # in context (the reference's MLMLoss through xbert; here the
+            # Q-former trunk plays both roles).
+            assert cfg.mask_token_id < cfg.qformer.vocab_size, \
+                "mask_token_id outside the Q-former vocab"
+            k_mask, _ = jax.random.split(jax.random.fold_in(rng, 1))
+            masked_ids, labels = criterions.mask_tokens(
+                k_mask, text_ids, cfg.qformer.vocab_size, cfg.mask_token_id,
+                cfg.mlm_prob)
+            b = vision_feats.shape[0]
+            q = jnp.tile(self.query_tokens, (b, 1, 1))
+            mask = jnp.concatenate(
+                [jnp.ones((b, q.shape[1]), jnp.float32),
+                 text_mask.astype(jnp.float32)], axis=1)
+            hidden, _ = self.qformer(
+                query_embeds=q, encoder_hidden_states=vision_feats,
+                input_ids=masked_ids, attention_mask=mask, ltm_on=False)
+            logits = self.lm_head(hidden[:, cfg.num_query_token:])
+            losses["loss_mlm"] = cfg.loss_mlm * criterions.mlm_loss(logits, labels)
         losses["loss_total"] = sum(losses.values())
         return losses

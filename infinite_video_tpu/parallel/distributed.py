@@ -28,9 +28,16 @@ def init_distributed(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None):
     """Initialise multi-host JAX. No-ops on single-host (the common case in
-    eval); args come from the TPU metadata server when omitted."""
-    if jax.process_count() > 1 or os.environ.get("JAX_COORDINATOR_ADDRESS") \
-            or coordinator_address:
+    eval); args come from the TPU metadata server when omitted.
+
+    The decision to initialise is made from env/args only — touching
+    jax.process_count() first would initialise the local backend and make
+    jax.distributed.initialize() raise.
+    """
+    want = bool(coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+                or os.environ.get("COORDINATOR_ADDRESS")
+                or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
+    if want:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)

@@ -1,0 +1,83 @@
+"""Batch collation for instruction tuning: samples → the train-step dict.
+
+Bridges data/datasets.py samples (frames, conversation, instruction) to
+training/trainer.it_loss's batch format: the conversation is split at the
+video placeholder, both sides tokenized, answer spans label-unmasked
+(tokenize_conversation), and the label row assembled as
+[-100 × pre] [-100 × video query tokens] [post labels], right-padded across
+the batch — the splice layout of videochat2_it_mistral.py:258-352.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from infinite_video_tpu.data.datasets import tokenize_conversation
+
+__all__ = ["collate_it_batch", "VIDEO_PLACEHOLDER"]
+
+VIDEO_PLACEHOLDER = "<Video></Video>"
+
+
+def _pad_rows(rows: List[np.ndarray], pad_value: int) -> np.ndarray:
+    width = max(len(r) for r in rows)
+    out = np.full((len(rows), width), pad_value, dtype=np.int64)
+    for i, r in enumerate(rows):
+        out[i, : len(r)] = r
+    return out
+
+
+def collate_it_batch(
+    samples: Sequence[Tuple],
+    tokenizer,
+    num_query_tokens: int,
+    qformer_tokenizer=None,
+    max_len: int = 512,
+    pad_token_id: int = 0,
+) -> Dict[str, np.ndarray]:
+    """samples: [(frames [T,H,W,3], conversation, instruction), ...] ->
+    {pixels, instruction_ids, instruction_mask, pre_ids, post_ids, labels}."""
+    qformer_tokenizer = qformer_tokenizer or tokenizer
+    pixels, pre_rows, post_rows, post_label_rows, instr_rows = [], [], [], [], []
+    for frames, conversation, instruction in samples:
+        pixels.append(frames)
+        if VIDEO_PLACEHOLDER in conversation:
+            pre_text, post_text = conversation.split(VIDEO_PLACEHOLDER, 1)
+        else:
+            pre_text, post_text = "", conversation
+        pre_ids = np.asarray(
+            tokenizer(pre_text, add_special_tokens=True)["input_ids"], np.int64)
+        post_ids, post_labels = tokenize_conversation(
+            tokenizer, post_text, max_len=max_len)
+        # tokenize_conversation adds special tokens; drop a leading BOS on the
+        # post side (the sequence continues mid-prompt after the video).
+        if len(post_ids) and post_ids[0] == getattr(tokenizer, "bos_token_id", 1):
+            post_ids, post_labels = post_ids[1:], post_labels[1:]
+        pre_rows.append(pre_ids)
+        post_rows.append(np.asarray(post_ids, np.int64))
+        post_label_rows.append(np.asarray(post_labels, np.int64))
+        instr_rows.append(np.asarray(
+            qformer_tokenizer(instruction or "",
+                              add_special_tokens=True)["input_ids"], np.int64))
+
+    pre = _pad_rows(pre_rows, pad_token_id)
+    post = _pad_rows(post_rows, pad_token_id)
+    post_labels = _pad_rows(post_label_rows, -100)
+    instr = _pad_rows(instr_rows, pad_token_id)
+    instr_mask = (instr != pad_token_id).astype(np.float32)
+
+    b = len(samples)
+    labels = np.concatenate([
+        np.full((b, pre.shape[1] + num_query_tokens), -100, np.int64),
+        post_labels,
+    ], axis=1)
+    return {
+        "pixels": np.stack(pixels),
+        "instruction_ids": instr,
+        "instruction_mask": instr_mask,
+        "pre_ids": pre,
+        "post_ids": post,
+        "labels": labels,
+    }

@@ -57,3 +57,24 @@ def test_tokenize_conversation_masks_only_answers():
     q_ids = set(tok("question one")["input_ids"])
     masked_ids = {int(i) for i, l in zip(ids, labels) if l == -100}
     assert q_ids <= masked_ids
+
+
+def test_collate_it_batch_layout():
+    from infinite_video_tpu.data.datasets import mistral_conversation_text
+    from infinite_video_tpu.training.collate import (VIDEO_PLACEHOLDER,
+                                                     collate_it_batch)
+
+    tok = ToyTokenizer()
+    conv = ("[INST] " + VIDEO_PLACEHOLDER +
+            " [/INST] [INST] what? [/INST] an answer </s>")
+    frames = np.zeros((2, 4, 4, 3), np.float32)
+    batch = collate_it_batch([(frames, conv, "watch closely")], tok,
+                             num_query_tokens=4)
+    b, pre_len = batch["pre_ids"].shape
+    assert batch["pixels"].shape == (1, 2, 4, 4, 3)
+    assert batch["labels"].shape[1] == pre_len + 4 + batch["post_ids"].shape[1]
+    # pre + query positions fully masked
+    assert (batch["labels"][:, : pre_len + 4] == -100).all()
+    # the answer tokens are unmasked somewhere in the post part
+    assert (batch["labels"][:, pre_len + 4:] != -100).any()
+    assert batch["instruction_mask"].sum() > 0

@@ -21,7 +21,7 @@ def _tiny_cfg():
                        cross_attention_freq=2, query_length=4, vocab_size=64,
                        alpha=1.0, ltm=None)
     return QFormerPretrainConfig(vit=vit, qformer=qf, num_query_token=4,
-                                 embed_dim=16)
+                                 embed_dim=16, mask_token_id=63, mlm_prob=0.3)
 
 
 def test_stage1_losses_finite_and_weighted():
@@ -33,7 +33,7 @@ def test_stage1_losses_finite_and_weighted():
     params = model.init(jax.random.PRNGKey(1), pixels, ids, mask)["params"]
     losses = model.apply({"params": params}, pixels, ids, mask,
                          rng=jax.random.PRNGKey(2))
-    assert set(losses) == {"loss_vtc", "loss_vtm", "loss_total"}
+    assert set(losses) == {"loss_vtc", "loss_vtm", "loss_mlm", "loss_total"}
     for v in losses.values():
         assert np.isfinite(float(v))
 
