@@ -145,3 +145,40 @@ def test_alpha1_recipe_states_pass_through_scan():
     emb, final_states = run(params, chunks)
     assert int(final_states[0].step) == 0  # untouched memory
     assert np.isfinite(np.asarray(emb)).all()
+
+
+def test_two_phase_streaming_matches_fused_path():
+    """Batched-ViT streaming (stream_two_phase) must equal the per-chunk full
+    encode exactly — the ViT carries no cross-chunk state."""
+    from infinite_video_tpu.runtime.streaming import stream_chunks, stream_two_phase
+
+    cfg, model, params, _ = _ivl_setup()
+    chunks = jax.random.normal(jax.random.PRNGKey(5), (3, 1, 4, 28, 28, 3)) * 0.3
+
+    def enc_full(chunk, states, rng):
+        return model.apply({"params": params}, chunk, states, ltm_rng=rng)
+
+    ref_embs, ref_states = stream_chunks(
+        enc_full, ivl.init_ltm_states(cfg.video_qformer, 1), chunks,
+        jax.random.PRNGKey(7))
+
+    def enc_frames(pixels):
+        return model.apply({"params": params}, pixels,
+                           method=model.encode_frames)
+
+    def enc_chunk(frame_tokens, states, rng):
+        return model.apply({"params": params}, frame_tokens, states,
+                           ltm_rng=rng, method=model.encode_video_chunk)
+
+    embs, states = stream_two_phase(
+        enc_frames, enc_chunk, ivl.init_ltm_states(cfg.video_qformer, 1),
+        chunks, jax.random.PRNGKey(7))
+    np.testing.assert_allclose(np.asarray(embs), np.asarray(ref_embs),
+                               rtol=1e-5, atol=1e-6)
+
+    # macro-batched ViT path gives the same result
+    embs2, _ = stream_two_phase(
+        enc_frames, enc_chunk, ivl.init_ltm_states(cfg.video_qformer, 1),
+        chunks, jax.random.PRNGKey(7), vit_macro_batch=2)
+    np.testing.assert_allclose(np.asarray(embs2), np.asarray(ref_embs),
+                               rtol=1e-5, atol=1e-6)
