@@ -53,6 +53,8 @@ def build_argparser():
     p.add_argument("--llm", default="", help="HF decoder directory")
     p.add_argument("--lora", default="")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny random-weight engine (pipeline smoke/integration)")
     p.add_argument("--num-shards", type=int, default=0,
                    help="shard questions across hosts (0 = jax.process_count)")
     p.add_argument("--shard-id", type=int, default=-1,
@@ -81,9 +83,12 @@ def make_frame_source(video_folder: str, num_frames: int, chunk_len: int,
                 idx = np.linspace(0, frames.shape[0] - 1, num_frames).astype(int)
                 frames = frames[idx]
         else:
-            path = os.path.join(video_folder, video_name)
-            if not os.path.exists(path):
-                path = os.path.join(video_folder, stem + ".mp4")
+            candidates = [os.path.join(video_folder, video_name)] + [
+                os.path.join(video_folder, stem + ext)
+                for ext in (".mp4", ".avi", ".mkv", ".webm", ".mov")
+            ]
+            path = next((p for p in candidates if os.path.exists(p)),
+                        candidates[0])
             frames = read_video_frames(path, num_frames, sampling="middle")
         return chunk_frames(proc(frames), chunk_len)
 
@@ -94,6 +99,8 @@ def build_engine(args):
     import jax
     import jax.numpy as jnp
 
+    if getattr(args, "tiny", False):
+        return _build_tiny_engine(args)
     if args.model == "videochat2":
         from infinite_video_tpu.eval.engine import MistralVideoQA
         from infinite_video_tpu.models import videochat2 as vc2
@@ -143,6 +150,44 @@ def build_engine(args):
         dec_params = _load_decoder_params(args.llm, decoder, rng)
         return LLaMAVideoQA(encoder, enc_params, decoder, dec_params, tokenizer,
                             init_states=encoder.init_states), cfg
+
+
+def _build_tiny_engine(args):
+    """Random-weight tiny engine for integration tests / plumbing smoke."""
+    import jax
+    import jax.numpy as jnp
+
+    from infinite_video_tpu.eval.engine import MistralVideoQA
+    from infinite_video_tpu.models import videochat2 as vc2
+    from infinite_video_tpu.models.decoder import Decoder
+
+    cfg = vc2.tiny_config(chunk_len=args.max_int)
+    encoder = vc2.VideoChat2Encoder(cfg)
+    decoder = Decoder(cfg.decoder)
+    rng = jax.random.PRNGKey(args.seed)
+    dummy = jnp.zeros((1, args.max_int, 224, 224, 3))
+    enc_params = encoder.init(rng, dummy, encoder.init_states(1),
+                              instruction_ids=jnp.zeros((1, 4), jnp.int32)
+                              )["params"]
+    dec_params = decoder.init(jax.random.PRNGKey(1),
+                              input_ids=jnp.zeros((1, 4), jnp.int32))["params"]
+
+    class _ToyTok:
+        eos_token_id = 2
+
+        def __call__(self, text, add_special_tokens=False):
+            ids = [3 + abs(hash(w)) % (cfg.decoder.vocab_size - 3)
+                   for w in text.split()]
+            return {"input_ids": ([1] if add_special_tokens else []) + ids,
+                    "attention_mask": [1] * (len(ids) + int(add_special_tokens))}
+
+        def decode(self, ids, skip_special_tokens=True):
+            return " ".join(f"tok{i}" for i in ids)
+
+    tok = _ToyTok()
+    return MistralVideoQA(encoder, enc_params, decoder, dec_params, tok,
+                          init_states=encoder.init_states,
+                          qformer_tokenizer=tok), cfg
 
 
 def _load_tokenizer(llm_dir: str):
