@@ -13,7 +13,7 @@ from typing import Dict
 
 import numpy as np
 
-__all__ = ["convert_vit_state_dict"]
+__all__ = ["convert_vit_state_dict", "interpolate_pos_embed"]
 
 
 def _to_np(w):
@@ -21,7 +21,30 @@ def _to_np(w):
                       dtype=np.float32)
 
 
-def convert_vit_state_dict(state_dict) -> Dict:
+def interpolate_pos_embed(pos_embed: np.ndarray, target_grid: int) -> np.ndarray:
+    """Bicubic-resize a learned [1, 1+g², D] pos-embed to a new grid size
+    (eva_vit.py tail: interpolate_pos_embed for non-224 eval resolutions).
+    The class-token slot passes through unchanged."""
+    import cv2
+
+    n = pos_embed.shape[1]
+    d = pos_embed.shape[2]
+    has_cls = int(round(n ** 0.5)) ** 2 != n
+    extra = pos_embed[:, :1] if has_cls else pos_embed[:, :0]
+    patches = pos_embed[0, 1 if has_cls else 0:]
+    g = int(round(patches.shape[0] ** 0.5))
+    if g == target_grid:
+        return pos_embed
+    grid = patches.reshape(g, g, d)
+    resized = cv2.resize(grid, (target_grid, target_grid),
+                         interpolation=cv2.INTER_CUBIC)
+    out = resized.reshape(1, target_grid * target_grid, d)
+    return np.concatenate([extra, out], axis=1).astype(np.float32)
+
+
+def convert_vit_state_dict(state_dict, target_grid: int | None = None) -> Dict:
+    """`target_grid`: interpolate a learned pos-embed to grid×grid patches
+    (images at a different eval resolution than the checkpoint's 224)."""
     params: Dict = {}
 
     def put(path, v):
@@ -36,7 +59,9 @@ def convert_vit_state_dict(state_dict) -> Dict:
         for pre in ("encoder.", "visual_encoder.", "vision_encoder."):
             if k.startswith(pre):
                 k = k[len(pre):]
-        if k in ("pos_embed", "img_pos_embed") and w.ndim == 3 and k == "pos_embed":
+        if k == "pos_embed" and w.ndim == 3:
+            if target_grid is not None:
+                w = interpolate_pos_embed(w, target_grid)
             put(("pos_embed",), w)
             continue
         if k == "cls_token":

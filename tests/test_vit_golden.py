@@ -42,3 +42,15 @@ def test_umt_vit_matches_reference(name):
     y = VisionTransformer(cfg).apply({"params": params}, x)
     ref = d["y"].reshape(d["y"].shape[0], -1, d["y"].shape[-1])  # [B,T,L,C]->[B,TL,C]
     np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-4, atol=2e-5)
+
+
+def test_pos_embed_interpolation():
+    from infinite_video_tpu.convert.vit import interpolate_pos_embed
+
+    d = 8
+    pos = np.random.default_rng(0).normal(size=(1, 1 + 16, d)).astype(np.float32)
+    out = interpolate_pos_embed(pos, target_grid=8)
+    assert out.shape == (1, 1 + 64, d)
+    np.testing.assert_array_equal(out[:, 0], pos[:, 0])  # cls slot untouched
+    # same grid: passthrough
+    np.testing.assert_array_equal(interpolate_pos_embed(pos, 4), pos)
