@@ -22,6 +22,8 @@ def main(argv=None):
     p.add_argument("--stage", choices=["qformer", "it"], default="it")
     p.add_argument("--output-dir", required=True)
     p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny random-weight model + toy tokenizer (integration)")
     p.add_argument("overrides", nargs="*", help="dotlist key=value overrides")
     args = p.parse_args(argv)
 
@@ -47,13 +49,16 @@ def main(argv=None):
         from infinite_video_tpu.models import videochat2 as vc2
         from infinite_video_tpu.models.decoder import Decoder
 
-        mcfg = vc2.default_config(
-            chunk_len=cfg.model.get("num_frames", 16),
-            num_basis=cfg.model.get("num_basis", 64),
-            tau=cfg.model.get("tau", 0.75),
-            alpha=cfg.model.get("alpha", 0.75),
-            sticky=cfg.model.get("sticky", True),
-            num_frames=cfg.model.get("num_frames", 16))
+        if args.tiny:
+            mcfg = vc2.tiny_config(chunk_len=cfg.model.get("num_frames", 2))
+        else:
+            mcfg = vc2.default_config(
+                chunk_len=cfg.model.get("num_frames", 16),
+                num_basis=cfg.model.get("num_basis", 64),
+                tau=cfg.model.get("tau", 0.75),
+                alpha=cfg.model.get("alpha", 0.75),
+                sticky=cfg.model.get("sticky", True),
+                num_frames=cfg.model.get("num_frames", 16))
         encoder = vc2.VideoChat2Encoder(mcfg)
         decoder = Decoder(mcfg.decoder)
 
@@ -93,7 +98,7 @@ def main(argv=None):
             def make_loader(epoch, skip):
                 from infinite_video_tpu.data.loader import MetaLoader
 
-                loaders = _build_it_loaders(cfg, mcfg, epoch)
+                loaders = _build_it_loaders(cfg, mcfg, epoch, tiny=args.tiny)
                 return MetaLoader(loaders, seed=cfg.get("seed", 42) + epoch,
                                   skip_num=skip)
 
@@ -107,21 +112,38 @@ def main(argv=None):
                          "directly (see tests/test_stage1_and_retrieval.py)")
 
 
-def _build_it_loaders(cfg, mcfg, epoch):
+class _ToyTokenizer:
+    """Whitespace hashing tokenizer for --tiny integration runs."""
+
+    bos_token_id = 1
+
+    def __init__(self, vocab_size):
+        self.vocab_size = vocab_size
+
+    def __call__(self, text, add_special_tokens=False):
+        ids = [3 + abs(hash(w)) % (self.vocab_size - 3) for w in text.split()]
+        return {"input_ids": ([1] if add_special_tokens else []) + ids}
+
+
+def _build_it_loaders(cfg, mcfg, epoch, tiny=False):
     """Named batch loaders from cfg.datasets entries (ann/data_root/batch);
     each yields collated train-step dicts (training/collate.py)."""
-    from transformers import AutoTokenizer
-
     from infinite_video_tpu.data.datasets import InstructionDataset
     from infinite_video_tpu.data.loader import StatefulShardSampler
     from infinite_video_tpu.data.processors import train_processor
     from infinite_video_tpu.training.collate import collate_it_batch
 
-    tokenizer = AutoTokenizer.from_pretrained(cfg.model["llm_path"])
+    if tiny:
+        tokenizer = _ToyTokenizer(mcfg.decoder.vocab_size)
+    else:
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(cfg.model["llm_path"])
     loaders = {}
     for name, dcfg in cfg.get("datasets", {}).items():
         ds = InstructionDataset(dcfg["ann_file"], dcfg["data_root"],
-                                train_processor(), num_frames=mcfg.vit.num_frames,
+                                train_processor(image_size=mcfg.vit.img_size),
+                                num_frames=mcfg.vit.num_frames,
                                 dialect=dcfg.get("dialect", "mistral"))
         sampler = StatefulShardSampler(len(ds), dcfg.get("batch_size", 1),
                                        seed=epoch)

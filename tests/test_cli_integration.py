@@ -53,3 +53,44 @@ def test_run_eval_cli_tiny_end_to_end(synthetic_benchmark, tmp_path):
     assert "stats" in data and "Acc" in data["stats"]
     # grouped accuracy uses the CSV's type column (CW here)
     assert data["stats"]["CW"] == data["stats"]["Acc"]
+
+
+def test_train_cli_tiny_end_to_end(tmp_path):
+    """Full stage-3 launcher path: config -> datasets -> MetaLoader ->
+    collation -> sharded train step -> checkpoint."""
+    cv2 = pytest.importorskip("cv2")
+    vids = tmp_path / "videos"
+    vids.mkdir()
+    for v in range(2):
+        w = cv2.VideoWriter(str(vids / f"v{v}.avi"),
+                            cv2.VideoWriter_fourcc(*"MJPG"), 5, (224, 224))
+        for i in range(4):
+            w.write(np.full((224, 224, 3), 30 * v + i, np.uint8))
+        w.release()
+    ann = [{"video": f"v{v}.avi",
+            "qa": [{"i": "watch", "q": "what?", "a": f"thing {v}"}]}
+           for v in range(2)]
+    ann_file = tmp_path / "ann.json"
+    ann_file.write_text(json.dumps(ann))
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(f"""
+seed: 3
+max_epochs: 1
+model:
+  num_frames: 2
+optimizer: {{lr: 1.0e-4}}
+scheduler: {{warmup_steps: 1, total_steps: 4}}
+datasets:
+  toy:
+    ann_file: {ann_file}
+    data_root: {vids}
+    batch_size: 1
+    dialect: mistral
+""")
+    from infinite_video_tpu.cli import train as train_cli
+
+    out_dir = str(tmp_path / "run")
+    train_cli.main(["--config", str(cfg), "--stage", "it",
+                    "--output-dir", out_dir, "--tiny"])
+    ckpts = [d for d in os.listdir(out_dir) if d.startswith("ckpt_")]
+    assert ckpts, "no checkpoint written by the training run"
