@@ -29,6 +29,8 @@ class GenerationConfig:
     top_p: float = 0.9
     eos_token_id: int = 2
     pad_token_id: int = 0
+    min_new_tokens: int = 1                 # HF min_length analogue
+    repetition_penalty: float = 1.0         # HF convention (1.0 = off)
     # Stop sequences as token-id tuples; reference uses "###" ids
     # (conversation_video.py:142-144).
     stop_sequences: Tuple[Tuple[int, ...], ...] = ()
@@ -48,7 +50,26 @@ def _sample_top_p(key, logits: jnp.ndarray, temperature: float, top_p: float):
     return jax.random.categorical(key, filtered, axis=-1)
 
 
-def _next_token(key, logits, cfg: GenerationConfig):
+def _apply_repetition_penalty(logits, tokens, penalty: float, vocab: int):
+    """HF semantics: seen tokens' logits are divided by the penalty when
+    positive, multiplied when negative."""
+    seen = jnp.zeros((tokens.shape[0], vocab), bool)
+    seen = seen.at[jnp.arange(tokens.shape[0])[:, None], tokens].set(True)
+    penalised = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(seen, penalised, logits)
+
+
+def _next_token(key, logits, cfg: GenerationConfig, tokens=None, t=None):
+    if cfg.repetition_penalty != 1.0 and tokens is not None:
+        logits = _apply_repetition_penalty(logits, tokens,
+                                           cfg.repetition_penalty,
+                                           logits.shape[-1])
+    if t is not None and cfg.min_new_tokens > 1:
+        # forbid EOS before min_new_tokens (HF min_length)
+        block = t < cfg.min_new_tokens - 1
+        logits = jnp.where(
+            block & (jnp.arange(logits.shape[-1]) == cfg.eos_token_id)[None, :],
+            -jnp.inf, logits)
     if cfg.do_sample:
         return _sample_top_p(key, logits, cfg.temperature, cfg.top_p)
     return jnp.argmax(logits, axis=-1)
@@ -110,7 +131,8 @@ def generate(
                                     input_ids=tokens[:, t][:, None],
                                     attention_mask=mask, cache=cache)
         rng, sub = jax.random.split(rng)
-        nxt = _next_token(sub, logits[:, -1], cfg).astype(jnp.int32)
+        nxt = _next_token(sub, logits[:, -1], cfg, tokens=tokens,
+                          t=t).astype(jnp.int32)
         nxt = jnp.where(done, cfg.pad_token_id, nxt)
         tokens = tokens.at[:, t + 1].set(nxt)
         newly_done = nxt == cfg.eos_token_id

@@ -75,3 +75,33 @@ def test_generate_from_embeds_with_padding_mask():
                                GenerationConfig(max_new_tokens=6, eos_token_id=-1),
                                prompt_ids=jnp.asarray(ids)))
     np.testing.assert_array_equal(out1, out2)
+
+
+def test_repetition_penalty_discourages_repeats():
+    _, model, params = _tiny_pair(seed=3)
+    ids = np.random.default_rng(3).integers(3, 96, (1, 6))
+    plain = np.asarray(generate(
+        model, params, GenerationConfig(max_new_tokens=16, eos_token_id=-1),
+        prompt_ids=jnp.asarray(ids))[0])
+    pen = np.asarray(generate(
+        model, params, GenerationConfig(max_new_tokens=16, eos_token_id=-1,
+                                        repetition_penalty=5.0),
+        prompt_ids=jnp.asarray(ids))[0])
+    # with a strong penalty the output has at least as many distinct tokens
+    assert len(set(pen.tolist())) >= len(set(plain.tolist()))
+
+
+def test_min_new_tokens_blocks_early_eos():
+    _, model, params = _tiny_pair(seed=4)
+    ids = np.random.default_rng(4).integers(3, 96, (1, 5))
+    free = np.asarray(generate(
+        model, params, GenerationConfig(max_new_tokens=12, eos_token_id=-1),
+        prompt_ids=jnp.asarray(ids))[0])
+    eos_tok = int(free[1])  # pretend the 2nd greedy token is "EOS"
+    out = np.asarray(generate(
+        model, params,
+        GenerationConfig(max_new_tokens=12, eos_token_id=eos_tok,
+                         pad_token_id=0, min_new_tokens=6),
+        prompt_ids=jnp.asarray(ids))[0])
+    # the first 5 generated steps may not emit eos_tok via the decode loop
+    assert eos_tok not in out[1:5].tolist()
