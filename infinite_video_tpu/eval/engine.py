@@ -147,6 +147,48 @@ class MistralVideoQA:
         text = _postprocess(self.tokenizer, tokens, split="</s>")
         return return_prompt + text.strip().split("\n")[0]
 
+    def answer_batch(self, video_embs, questions, **kw):
+        """Batched QA over stacked video embeddings (see _answer_batch)."""
+        return _answer_batch(self, video_embs, questions, **kw)
+
+
+def _answer_batch(engine, video_embs, questions, *, system="",
+                  question_prompt="", answer_prompt="", return_prompt="",
+                  max_new_tokens=100, do_sample=False, rng=None):
+    """Serving-style batched QA: one generate() over left-padded prompts.
+
+    video_embs: [B, Q, D] (stacked per-question video embeddings). Prompts of
+    different token lengths are LEFT-padded (zero embeds + mask) so rows share
+    cache slots; per-row RoPE offsets keep positions correct
+    (models/decoder.py position_offset).
+    """
+    embs = []
+    for i, q in enumerate(questions):
+        prompt = (f"{system}[INST] <Video><VideoHere></Video> [/INST] "
+                  f"[INST] {q}{question_prompt} [/INST] {answer_prompt}")
+        e = _embed_segments_generic(engine.decoder, engine.dec_params,
+                                    engine.tokenizer,
+                                    prompt.split("<VideoHere>"),
+                                    [video_embs[i:i + 1]])
+        embs.append(e)
+    width = max(e.shape[1] for e in embs)
+    batch, mask = [], []
+    for e in embs:
+        pad = width - e.shape[1]
+        batch.append(jnp.pad(e, ((0, 0), (pad, 0), (0, 0))))
+        mask.append(jnp.pad(jnp.ones((1, e.shape[1])), ((0, 0), (pad, 0))))
+    gcfg = GenerationConfig(max_new_tokens=max_new_tokens, do_sample=do_sample,
+                            eos_token_id=2, pad_token_id=2,
+                            stop_sequences=((2,), (29871, 2)))
+    tokens = generate(engine.decoder, engine.dec_params, gcfg,
+                      prompt_embeds=jnp.concatenate(batch, 0),
+                      prompt_mask=jnp.concatenate(mask, 0), rng=rng)
+    outs = []
+    for i in range(len(questions)):
+        text = _postprocess(engine.tokenizer, tokens[i:i + 1], split="</s>")
+        outs.append(return_prompt + text.strip().split("\n")[0])
+    return outs
+
 
 def _embed_segments_generic(decoder, params, tokenizer, segments, video_embs):
     segs = []

@@ -112,16 +112,19 @@ class RMSNorm(nn.Module):
 
 
 def _rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
-    """HF-convention rotary embedding. x: [B, S, H, D], positions: [S]."""
+    """HF-convention rotary embedding. x: [B, S, H, D]; positions: [S] or
+    [B, S] (per-row offsets for left-padded batched generation)."""
     d = x.shape[-1]
+    if positions.ndim == 1:
+        positions = positions[None, :]
     inv_freq = 1.0 / (theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
-    ang = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]   # [S, D/2]
-    cos = jnp.concatenate([jnp.cos(ang), jnp.cos(ang)], axis=-1)       # [S, D]
+    ang = positions.astype(jnp.float32)[..., None] * inv_freq     # [B?, S, D/2]
+    cos = jnp.concatenate([jnp.cos(ang), jnp.cos(ang)], axis=-1)  # [B?, S, D]
     sin = jnp.concatenate([jnp.sin(ang), jnp.sin(ang)], axis=-1)
     xf = x.astype(jnp.float32)
     x1, x2 = xf[..., : d // 2], xf[..., d // 2:]
     rotated = jnp.concatenate([-x2, x1], axis=-1)
-    out = xf * cos[None, :, None, :] + rotated * sin[None, :, None, :]
+    out = xf * cos[:, :, None, :] + rotated * sin[:, :, None, :]
     return out.astype(x.dtype)
 
 
@@ -217,6 +220,7 @@ class Decoder(nn.Module):
         attention_mask: Optional[jnp.ndarray] = None,  # [B, S_total] 0/1
         cache: Optional[KVCache] = None,
         embed_only: bool = False,
+        position_offset: Optional[jnp.ndarray] = None,  # [B] (left padding)
     ):
         cfg = self.cfg
         embed = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=cfg.dtype,
@@ -234,6 +238,13 @@ class Decoder(nn.Module):
         else:
             positions = jnp.arange(s)
             key_pos = jnp.arange(s)
+        # RoPE phases may shift per row (left padding); the causal bias below
+        # always works over absolute buffer slots — padded keys are excluded
+        # via attention_mask.
+        rope_positions = positions
+        if position_offset is not None:
+            rope_positions = jnp.maximum(
+                positions[None, :] - position_offset[:, None], 0)
         if (cfg.use_flash and cache is None and attention_mask is None
                 and cfg.sliding_window is None):
             bias = None  # causal handled inside the flash kernel
@@ -255,7 +266,7 @@ class Decoder(nn.Module):
             cv = cache.v[i] if cache is not None else None
             cp = cache.pos if cache is not None else None
             x, ck, cv = layer_cls(cfg, name=f"layer_{i}")(
-                x, positions, bias, ck, cv, cp)
+                x, rope_positions, bias, ck, cv, cp)
             if cache is not None:
                 new_k.append(ck)
                 new_v.append(cv)

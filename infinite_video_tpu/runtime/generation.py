@@ -111,9 +111,13 @@ def generate(
         prompt_mask = jnp.ones((b, s))
     buffer_mask = jax.lax.dynamic_update_slice(buffer_mask,
                                                prompt_mask.astype(jnp.float32), (0, 0))
+    # LEFT-padded batching: per-row RoPE offsets so every row's content ends
+    # at the same cache slot (prompts of different lengths batch together).
+    pad_offset = (1.0 - prompt_mask.astype(jnp.float32)).sum(axis=1).astype(jnp.int32)
 
     logits, cache = model.apply({"params": params}, inputs_embeds=prompt_embeds,
-                                attention_mask=buffer_mask, cache=cache)
+                                attention_mask=buffer_mask, cache=cache,
+                                position_offset=pad_offset)
     rng, sub = jax.random.split(rng)
     first = _next_token(sub, logits[:, -1], cfg)
 
@@ -129,7 +133,8 @@ def generate(
         mask = mask.at[:, s + t].set(1.0)
         logits, cache = model.apply({"params": params},
                                     input_ids=tokens[:, t][:, None],
-                                    attention_mask=mask, cache=cache)
+                                    attention_mask=mask, cache=cache,
+                                    position_offset=pad_offset)
         rng, sub = jax.random.split(rng)
         nxt = _next_token(sub, logits[:, -1], cfg, tokens=tokens,
                           t=t).astype(jnp.int32)

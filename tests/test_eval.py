@@ -140,3 +140,38 @@ def test_read_vtt_subtitles(tmp_path):
                    "2\n00:00:01.000 --> 00:00:02.000\ngeneral kenobi\n")
     txt = drivers.read_vtt_subtitles(str(vtt))
     assert txt == "hello there general kenobi"
+
+
+def test_answer_batch_matches_single():
+    import jax
+    import jax.numpy as jnp
+
+    from infinite_video_tpu.eval.engine import MistralVideoQA
+    from infinite_video_tpu.models.decoder import Decoder, tiny_decoder_config
+
+    cfg = tiny_decoder_config()
+    decoder = Decoder(cfg)
+    params = decoder.init(jax.random.PRNGKey(0),
+                          input_ids=jnp.zeros((1, 4), jnp.int32))["params"]
+
+    class Tok:
+        eos_token_id = 2
+
+        def __call__(self, text, add_special_tokens=False):
+            ids = [3 + abs(hash(w)) % 100 for w in text.split()]
+            return {"input_ids": ([1] if add_special_tokens else []) + ids}
+
+        def decode(self, ids, skip_special_tokens=True):
+            return " ".join(f"w{i}" for i in ids)
+
+    eng = MistralVideoQA.__new__(MistralVideoQA)
+    eng.decoder, eng.dec_params, eng.tokenizer = decoder, params, Tok()
+
+    emb1 = jnp.ones((1, 4, cfg.hidden_size)) * 0.1
+    emb2 = jnp.ones((1, 4, cfg.hidden_size)) * -0.1
+    q1, q2 = "what is happening here", "why"
+    s1 = MistralVideoQA.answer(eng, emb1, q1, max_new_tokens=5)
+    s2 = MistralVideoQA.answer(eng, emb2, q2, max_new_tokens=5)
+    batch = eng.answer_batch(jnp.concatenate([emb1, emb2]), [q1, q2],
+                             max_new_tokens=5)
+    assert batch == [s1, s2]

@@ -105,3 +105,26 @@ def test_min_new_tokens_blocks_early_eos():
         prompt_ids=jnp.asarray(ids))[0])
     # the first 5 generated steps may not emit eos_tok via the decode loop
     assert eos_tok not in out[1:5].tolist()
+
+
+def test_left_padded_batch_matches_single():
+    """Two prompts of different lengths, left-padded into one batch, must
+    produce the same greedy continuations as individual runs."""
+    _, model, params = _tiny_pair(seed=6)
+    rng = np.random.default_rng(6)
+    p1 = rng.integers(3, 96, (1, 4))
+    p2 = rng.integers(3, 96, (1, 7))
+    cfg_g = GenerationConfig(max_new_tokens=6, eos_token_id=-1, pad_token_id=0)
+    out1 = np.asarray(generate(model, params, cfg_g, prompt_ids=jnp.asarray(p1))[0])
+    out2 = np.asarray(generate(model, params, cfg_g, prompt_ids=jnp.asarray(p2))[0])
+
+    # left-pad p1 to length 7 with token 0 and mask zeros
+    ids = np.concatenate([np.zeros((1, 3), np.int64), p1], axis=1)
+    batch_ids = np.concatenate([ids, p2], axis=0)
+    mask = np.asarray([[0, 0, 0, 1, 1, 1, 1], [1] * 7], np.float32)
+    emb = model.apply({"params": params}, input_ids=jnp.asarray(batch_ids),
+                      embed_only=True)
+    out = np.asarray(generate(model, params, cfg_g, prompt_embeds=emb,
+                              prompt_mask=jnp.asarray(mask)))
+    np.testing.assert_array_equal(out[0], out1)
+    np.testing.assert_array_equal(out[1], out2)
