@@ -77,8 +77,12 @@ def main(argv=None):
     chunks = chunk_frames(frames, chunk_len)
     if getattr(args, "breakpoint", ""):
         # keep only chunks whose frames fall before the breakpoint timestamp
-        mm, ss = args.breakpoint.split(":")
-        t_break = 60 * int(mm) + float(ss)
+        try:
+            mm, ss = args.breakpoint.split(":")
+            t_break = 60 * int(mm) + float(ss)
+        except ValueError:
+            raise SystemExit(
+                f"--breakpoint must be mm:ss (got {args.breakpoint!r})")
         frame_times = [i / fps for i in indices[: chunks.shape[0] * chunk_len]]
         valid = sum(1 for t in frame_times[::chunk_len] if t <= t_break)
         chunks = chunks[: max(1, valid)]
