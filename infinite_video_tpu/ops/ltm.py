@@ -265,11 +265,26 @@ def continuous_attention(
     kh = keys.reshape(b, n, h, d).transpose(0, 2, 1, 3)     # [b,h,N,d]
     vh = values.reshape(b, n, h, d).transpose(0, 2, 1, 3)   # [b,h,N,d]
 
-    if cfg.use_pallas:
-        from infinite_video_tpu.ops.pallas.ltm_fused import fused_continuous_attention
+    # Sticky bin masses of *this* chunk's density are computed alongside the
+    # integral (consumed by the next update's resampling draw). They replicate
+    # the cumulative-trapezoid diff of gibbs:200-203 — including its
+    # off-by-one: mass j covers the interval (edges[j+1], edges[j+2]) while
+    # the draw later returns edges[j].
+    edges, psi_e = _sticky_edges_psi(cfg)
+    edges = jnp.asarray(edges)
+    psi_e = jnp.asarray(psi_e)
+    de = jnp.diff(edges)                                     # [128]
+    w_e = jnp.zeros_like(edges).at[:-1].add(de / 2).at[1:].add(de / 2)
 
-        ctx = fused_continuous_attention(qh, kh, vh, psi_t, w,
-                                         interpret=cfg.pallas_interpret)
+    if cfg.use_pallas:
+        from infinite_video_tpu.ops.pallas.ltm_fused import (
+            fused_continuous_attention_with_mass)
+
+        de1 = jnp.zeros_like(edges).at[: de.shape[0] - 1].set(de[1:])
+        ctx, seg_bh = fused_continuous_attention_with_mass(
+            qh, kh, vh, psi_t, w, psi_e, w_e, de1,
+            interpret=cfg.pallas_interpret)
+        mass = seg_bh.sum(axis=1)                            # [b,127]
     else:
         # z(t): [b,h,Q,T]
         k_psi = jnp.einsum("bhnd,tn->bhtd", kh, psi_t, precision=_PREC)
@@ -279,22 +294,13 @@ def continuous_attention(
         # I = ∫ p(t) ψ(t) dt : [b,h,Q,N]; context = I·V.
         integral = jnp.einsum("bhqt,t,tn->bhqn", p, w, psi_t, precision=_PREC)
         ctx = jnp.einsum("bhqn,bhnd->bhqd", integral, vh, precision=_PREC)
-    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, q_len, hidden)
 
-    # Sticky bin masses of *this* chunk's density, consumed by the next
-    # update's resampling draw. Replicates the cumulative-trapezoid diff of
-    # gibbs:200-203 — including its off-by-one: mass j covers the interval
-    # (edges[j+1], edges[j+2]) while the draw later returns edges[j].
-    edges, psi_e = _sticky_edges_psi(cfg)
-    edges = jnp.asarray(edges)
-    psi_e = jnp.asarray(psi_e)
-    k_psi_e = jnp.einsum("bhnd,tn->bhtd", kh, psi_e, precision=_PREC)         # [b,h,129,d]
-    z_e = jnp.einsum("bhqd,bhtd->bhqt", qh, k_psi_e, precision=_PREC)         # [b,h,Q,129]
-    de = jnp.diff(edges)                                     # [128]
-    w_e = jnp.zeros_like(edges).at[:-1].add(de / 2).at[1:].add(de / 2)
-    p_e = _gibbs_density(z_e, w_e)                           # [b,h,Q,129]
-    seg = 0.5 * (p_e[..., 1:-1] + p_e[..., 2:]) * de[1:]     # [b,h,Q,127]
-    mass = seg.sum(axis=(1, 2))                              # [b,127]
+        k_psi_e = jnp.einsum("bhnd,tn->bhtd", kh, psi_e, precision=_PREC)  # [b,h,129,d]
+        z_e = jnp.einsum("bhqd,bhtd->bhqt", qh, k_psi_e, precision=_PREC)  # [b,h,Q,129]
+        p_e = _gibbs_density(z_e, w_e)                       # [b,h,Q,129]
+        seg = 0.5 * (p_e[..., 1:-1] + p_e[..., 2:]) * de[1:]  # [b,h,Q,127]
+        mass = seg.sum(axis=(1, 2))                          # [b,127]
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, q_len, hidden)
     mass = mass / jnp.clip(mass.sum(-1, keepdims=True), 1e-30, None)
     return ctx, mass
 
