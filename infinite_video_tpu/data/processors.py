@@ -84,6 +84,25 @@ def eval_processor(image_size: int = 224, mean=CLIP_MEAN, std=CLIP_STD) -> Video
     return VideoProcessor(image_size, mean, std, False, False)
 
 
+def _register_processors():
+    from infinite_video_tpu.utils.registry import registry
+
+    @registry.register_processor("alpro_video_eval")
+    class _Eval:
+        from_config = staticmethod(
+            lambda cfg=None: eval_processor(
+                (cfg or {}).get("image_size", 224)))
+
+    @registry.register_processor("alpro_video_train")
+    class _Train:
+        from_config = staticmethod(
+            lambda cfg=None: train_processor(
+                (cfg or {}).get("image_size", 224)))
+
+
+_register_processors()
+
+
 def train_processor(image_size: int = 224, mean=CLIP_MEAN, std=CLIP_STD) -> VideoProcessor:
     """AlproVideoTrainProcessor (video_processor.py:118-176); RandAugment is
     intentionally omitted (training recipes here do not enable it)."""

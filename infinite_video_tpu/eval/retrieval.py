@@ -27,7 +27,15 @@ def similarity_matrix(vision_proj: np.ndarray, text_proj: np.ndarray,
     t = _normalize(np.asarray(text_proj, np.float32))
     if v.ndim == 3:
         sim = np.einsum("mld,nd->mln", v, t)
-        sim = sim.mean(1) if agg == "mean" else sim.max(1)
+        if agg == "mean":
+            sim = sim.mean(1)
+        elif agg == "max":
+            sim = sim.max(1)
+        elif agg == "lse":  # log-sum-exp frame ensembling (retrieval_utils.py)
+            m = sim.max(1, keepdims=True)
+            sim = (m + np.log(np.exp(sim - m).sum(1, keepdims=True)))[:, 0]
+        else:
+            raise ValueError(f"unknown agg: {agg}")
     else:
         sim = v @ t.T
     return sim

@@ -86,3 +86,13 @@ def test_metric_logger_smoothing():
     ml.update(loss=3.0)
     assert ml.loss.global_avg == 2.0
     assert "loss" in str(ml)
+
+
+def test_retrieval_lse_aggregation():
+    v = np.random.default_rng(0).normal(size=(4, 3, 8)).astype(np.float32)
+    t = np.random.default_rng(1).normal(size=(4, 8)).astype(np.float32)
+    sim = retrieval.similarity_matrix(v, t, agg="lse")
+    assert sim.shape == (4, 4)
+    assert np.isfinite(sim).all()
+    # lse >= max >= mean elementwise (over normalized sims)
+    assert (sim >= retrieval.similarity_matrix(v, t, agg="max") - 1e-5).all()
