@@ -53,6 +53,8 @@ def build_argparser():
     p.add_argument("--llm", default="", help="HF decoder directory")
     p.add_argument("--lora", default="")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--int8", action="store_true",
+                   help="int8 weight-only decoder (halves HBM/decode bandwidth)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny random-weight engine (pipeline smoke/integration)")
     p.add_argument("--num-shards", type=int, default=0,
@@ -127,6 +129,7 @@ def build_engine(args):
         tokenizer = _load_tokenizer(args.llm)
         if dec_params is None:
             dec_params = _load_decoder_params(args.llm, decoder, rng)
+        decoder, dec_params = _maybe_quantize(args, cfg, decoder, dec_params)
         return MistralVideoQA(encoder, enc_params, decoder, dec_params,
                               tokenizer, init_states=encoder.init_states), cfg
     else:
@@ -148,6 +151,7 @@ def build_engine(args):
             enc_params, _ = assemble_infvideollama_params(enc_params, paths)
         tokenizer = _load_tokenizer(args.llm)
         dec_params = _load_decoder_params(args.llm, decoder, rng)
+        decoder, dec_params = _maybe_quantize(args, cfg, decoder, dec_params)
         return LLaMAVideoQA(encoder, enc_params, decoder, dec_params, tokenizer,
                             init_states=encoder.init_states), cfg
 
@@ -188,6 +192,15 @@ def _build_tiny_engine(args):
     return MistralVideoQA(encoder, enc_params, decoder, dec_params, tok,
                           init_states=encoder.init_states,
                           qformer_tokenizer=tok), cfg
+
+
+def _maybe_quantize(args, cfg, decoder, dec_params):
+    if not getattr(args, "int8", False):
+        return decoder, dec_params
+    from infinite_video_tpu.models.quantized import (QuantDecoder,
+                                                     quantize_decoder_params)
+
+    return QuantDecoder(cfg.decoder), quantize_decoder_params(dec_params)
 
 
 def _load_tokenizer(llm_dir: str):
