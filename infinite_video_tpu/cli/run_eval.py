@@ -176,19 +176,9 @@ def _build_tiny_engine(args):
     dec_params = decoder.init(jax.random.PRNGKey(1),
                               input_ids=jnp.zeros((1, 4), jnp.int32))["params"]
 
-    class _ToyTok:
-        eos_token_id = 2
+    from infinite_video_tpu.utils.testing import ToyTokenizer
 
-        def __call__(self, text, add_special_tokens=False):
-            ids = [3 + abs(hash(w)) % (cfg.decoder.vocab_size - 3)
-                   for w in text.split()]
-            return {"input_ids": ([1] if add_special_tokens else []) + ids,
-                    "attention_mask": [1] * (len(ids) + int(add_special_tokens))}
-
-        def decode(self, ids, skip_special_tokens=True):
-            return " ".join(f"tok{i}" for i in ids)
-
-    tok = _ToyTok()
+    tok = ToyTokenizer(cfg.decoder.vocab_size)
     return MistralVideoQA(encoder, enc_params, decoder, dec_params, tok,
                           init_states=encoder.init_states,
                           qformer_tokenizer=tok), cfg

@@ -112,19 +112,6 @@ def main(argv=None):
                          "directly (see tests/test_stage1_and_retrieval.py)")
 
 
-class _ToyTokenizer:
-    """Whitespace hashing tokenizer for --tiny integration runs."""
-
-    bos_token_id = 1
-
-    def __init__(self, vocab_size):
-        self.vocab_size = vocab_size
-
-    def __call__(self, text, add_special_tokens=False):
-        ids = [3 + abs(hash(w)) % (self.vocab_size - 3) for w in text.split()]
-        return {"input_ids": ([1] if add_special_tokens else []) + ids}
-
-
 def _build_it_loaders(cfg, mcfg, epoch, tiny=False):
     """Named batch loaders from cfg.datasets entries (ann/data_root/batch);
     each yields collated train-step dicts (training/collate.py)."""
@@ -134,7 +121,9 @@ def _build_it_loaders(cfg, mcfg, epoch, tiny=False):
     from infinite_video_tpu.training.collate import collate_it_batch
 
     if tiny:
-        tokenizer = _ToyTokenizer(mcfg.decoder.vocab_size)
+        from infinite_video_tpu.utils.testing import ToyTokenizer
+
+        tokenizer = ToyTokenizer(mcfg.decoder.vocab_size)
     else:
         from transformers import AutoTokenizer
 

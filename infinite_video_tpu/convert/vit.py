@@ -24,8 +24,10 @@ def _to_np(w):
 def interpolate_pos_embed(pos_embed: np.ndarray, target_grid: int) -> np.ndarray:
     """Bicubic-resize a learned [1, 1+g², D] pos-embed to a new grid size
     (eva_vit.py tail: interpolate_pos_embed for non-224 eval resolutions).
-    The class-token slot passes through unchanged."""
-    import cv2
+    The class-token slot passes through unchanged. Uses jax.image.resize
+    (cv2.resize rejects >4-channel images, and ViT widths are 1024/1408)."""
+    import jax
+    import jax.numpy as jnp
 
     n = pos_embed.shape[1]
     d = pos_embed.shape[2]
@@ -35,9 +37,9 @@ def interpolate_pos_embed(pos_embed: np.ndarray, target_grid: int) -> np.ndarray
     g = int(round(patches.shape[0] ** 0.5))
     if g == target_grid:
         return pos_embed
-    grid = patches.reshape(g, g, d)
-    resized = cv2.resize(grid, (target_grid, target_grid),
-                         interpolation=cv2.INTER_CUBIC)
+    grid = jnp.asarray(patches.reshape(g, g, d), jnp.float32)
+    resized = np.asarray(jax.image.resize(
+        grid, (target_grid, target_grid, d), method="cubic"))
     out = resized.reshape(1, target_grid * target_grid, d)
     return np.concatenate([extra, out], axis=1).astype(np.float32)
 

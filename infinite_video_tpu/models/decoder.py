@@ -52,6 +52,9 @@ class DecoderConfig:
     use_flash: bool = False
     flash_interpret: bool = False  # test hook
     remat: bool = False            # rematerialize layers (training memory)
+    # int8 weight-only projections (per-output-channel scales, fused dequant):
+    # halves HBM footprint/decode bandwidth for single-chip 7B serving.
+    quantized: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -102,6 +105,34 @@ def _rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
     return (xf * w.astype(jnp.float32)).astype(x.dtype)
 
 
+class QuantDense(nn.Module):
+    """y = x · dequant(W): weights stream as int8 with per-output-channel
+    fp32 scales; dequant fuses into the matmul (the int8 stays in HBM)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        wq = self.param("kernel_q", nn.initializers.zeros,
+                        (x.shape[-1], self.features), jnp.int8)
+        scale = self.param("scale", nn.initializers.ones, (self.features,),
+                           jnp.float32)
+        w = wq.astype(self.dtype) * scale.astype(self.dtype)
+        return jnp.dot(x.astype(self.dtype), w)
+
+
+def _dense_cls(cfg):
+    """Projection factory: fp Dense or int8 QuantDense per config."""
+    import functools
+
+    if cfg.quantized:
+        return functools.partial(QuantDense, dtype=cfg.dtype)
+    import flax.linen as _nn
+
+    return functools.partial(_nn.Dense, use_bias=False, dtype=cfg.dtype)
+
+
 class RMSNorm(nn.Module):
     eps: float
 
@@ -144,11 +175,12 @@ class DecoderLayer(nn.Module):
         cfg = self.cfg
         h, kv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
+        dense = _dense_cls(cfg)
         res = x
         y = RMSNorm(cfg.rms_eps, name="input_ln")(x)
-        q = nn.Dense(h * hd, use_bias=False, dtype=cfg.dtype, name="q_proj")(y)
-        k = nn.Dense(kv * hd, use_bias=False, dtype=cfg.dtype, name="k_proj")(y)
-        v = nn.Dense(kv * hd, use_bias=False, dtype=cfg.dtype, name="v_proj")(y)
+        q = dense(h * hd, name="q_proj")(y)
+        k = dense(kv * hd, name="k_proj")(y)
+        v = dense(kv * hd, name="v_proj")(y)
         b, s, _ = y.shape
         q = _rope(q.reshape(b, s, h, hd), positions, cfg.rope_theta)
         k = _rope(k.reshape(b, s, kv, hd), positions, cfg.rope_theta)
@@ -184,18 +216,14 @@ class DecoderLayer(nn.Module):
             probs = jax.nn.softmax(scores, axis=-1)
             ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v_all.dtype), v_all)
             ctx = ctx.reshape(b, s, h * hd)
-        attn_out = nn.Dense(cfg.hidden_size, use_bias=False, dtype=cfg.dtype,
-                            name="o_proj")(ctx.astype(cfg.dtype))
+        attn_out = dense(cfg.hidden_size, name="o_proj")(ctx.astype(cfg.dtype))
         x = res + attn_out
 
         res = x
         y = RMSNorm(cfg.rms_eps, name="post_ln")(x)
-        gate = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=cfg.dtype,
-                        name="gate_proj")(y)
-        up = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=cfg.dtype,
-                      name="up_proj")(y)
-        y = nn.Dense(cfg.hidden_size, use_bias=False, dtype=cfg.dtype,
-                     name="down_proj")(jax.nn.silu(gate) * up)
+        gate = dense(cfg.intermediate_size, name="gate_proj")(y)
+        up = dense(cfg.intermediate_size, name="up_proj")(y)
+        y = dense(cfg.hidden_size, name="down_proj")(jax.nn.silu(gate) * up)
         return res + y, cache_k, cache_v
 
 
@@ -272,8 +300,7 @@ class Decoder(nn.Module):
                 new_v.append(cv)
 
         x = RMSNorm(cfg.rms_eps, name="final_ln")(x)
-        logits = nn.Dense(cfg.vocab_size, use_bias=False, dtype=cfg.dtype,
-                          name="lm_head")(x)
+        logits = _dense_cls(cfg)(cfg.vocab_size, name="lm_head")(x)
         logits = logits.astype(jnp.float32)
 
         if cache is not None:

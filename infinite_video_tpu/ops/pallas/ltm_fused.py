@@ -50,7 +50,8 @@ def _kernel(q_ref, k_ref, v_ref, psi_ref, w_ref, o_ref, *, t_real: int):
 
 
 def _kernel_with_mass(q_ref, k_ref, v_ref, psi_ref, w_ref, psie_ref, we_ref,
-                      de_ref, o_ref, m_ref, *, t_real: int, e_real: int):
+                      de_ref, o_ref, m_ref, *, t_real: int, e_real: int,
+                      q_real: int):
     """Main integral + the sticky edge-mass side computation, one VMEM pass.
 
     Edge masses replicate ops/ltm.py's cumulative-trapezoid diff (itself
@@ -91,6 +92,9 @@ def _kernel_with_mass(q_ref, k_ref, v_ref, psi_ref, w_ref, psie_ref, we_ref,
     shift1 = pltpu.roll(p_e, e_pad - 1, 1)  # out[j] = p_e[:, j+1]
     shift2 = pltpu.roll(p_e, e_pad - 2, 1)  # out[j] = p_e[:, j+2]
     seg = 0.5 * (shift1 + shift2) * de1     # widths zero outside 0..E-3
+    # exclude padded (zero) query rows — they would add uniform mass
+    q_ids = jax.lax.broadcasted_iota(jnp.int32, seg.shape, 0)
+    seg = jnp.where(q_ids < q_real, seg, 0.0)
     m_ref[0] = jnp.sum(seg, axis=0, keepdims=True)                  # [1, E_pad]
 
 
@@ -129,7 +133,7 @@ def fused_continuous_attention_with_mass(
     qg, kg, vg = prep(qh, q_pad), prep(kh, n), prep(vh, n)
 
     out, mass = pl.pallas_call(
-        functools.partial(_kernel_with_mass, t_real=t, e_real=e),
+        functools.partial(_kernel_with_mass, t_real=t, e_real=e, q_real=q_len),
         grid=(b * h,),
         in_specs=[
             pl.BlockSpec((1, q_pad, d_pad), lambda i: (i, 0, 0)),

@@ -50,23 +50,30 @@ def _sample_top_p(key, logits: jnp.ndarray, temperature: float, top_p: float):
     return jax.random.categorical(key, filtered, axis=-1)
 
 
-def _apply_repetition_penalty(logits, tokens, penalty: float, vocab: int):
-    """HF semantics: seen tokens' logits are divided by the penalty when
-    positive, multiplied when negative."""
-    seen = jnp.zeros((tokens.shape[0], vocab), bool)
-    seen = seen.at[jnp.arange(tokens.shape[0])[:, None], tokens].set(True)
+def _apply_repetition_penalty(logits, tokens, num_generated, penalty: float,
+                              vocab: int):
+    """HF semantics over the tokens generated so far: seen logits divided by
+    the penalty when positive, multiplied when negative. Only positions
+    < num_generated count — the pad-initialised tail of the buffer must not
+    mark pad/EOS as 'seen'. (The prompt is embeddings here, so unlike HF the
+    penalty covers generated tokens only.)"""
+    valid = (jnp.arange(tokens.shape[1]) < num_generated).astype(jnp.float32)
+    seen = jnp.zeros((tokens.shape[0], vocab))
+    seen = seen.at[jnp.arange(tokens.shape[0])[:, None], tokens].max(valid[None, :])
     penalised = jnp.where(logits > 0, logits / penalty, logits * penalty)
-    return jnp.where(seen, penalised, logits)
+    return jnp.where(seen > 0, penalised, logits)
 
 
-def _next_token(key, logits, cfg: GenerationConfig, tokens=None, t=None):
+def _next_token(key, logits, cfg: GenerationConfig, tokens=None,
+                gen_index=0):
+    """Pick the token at (0-based) generated position `gen_index`."""
     if cfg.repetition_penalty != 1.0 and tokens is not None:
-        logits = _apply_repetition_penalty(logits, tokens,
+        logits = _apply_repetition_penalty(logits, tokens, gen_index,
                                            cfg.repetition_penalty,
                                            logits.shape[-1])
-    if t is not None and cfg.min_new_tokens > 1:
-        # forbid EOS before min_new_tokens (HF min_length)
-        block = t < cfg.min_new_tokens - 1
+    if cfg.min_new_tokens > 1:
+        # forbid EOS while the generated count would stay < min_new_tokens
+        block = gen_index < cfg.min_new_tokens - 1
         logits = jnp.where(
             block & (jnp.arange(logits.shape[-1]) == cfg.eos_token_id)[None, :],
             -jnp.inf, logits)
@@ -119,7 +126,7 @@ def generate(
                                 attention_mask=buffer_mask, cache=cache,
                                 position_offset=pad_offset)
     rng, sub = jax.random.split(rng)
-    first = _next_token(sub, logits[:, -1], cfg)
+    first = _next_token(sub, logits[:, -1], cfg, gen_index=0)
 
     tokens = jnp.full((b, cfg.max_new_tokens), cfg.pad_token_id, jnp.int32)
     tokens = tokens.at[:, 0].set(first.astype(jnp.int32))
@@ -137,7 +144,7 @@ def generate(
                                     position_offset=pad_offset)
         rng, sub = jax.random.split(rng)
         nxt = _next_token(sub, logits[:, -1], cfg, tokens=tokens,
-                          t=t).astype(jnp.int32)
+                          gen_index=t + 1).astype(jnp.int32)
         nxt = jnp.where(done, cfg.pad_token_id, nxt)
         tokens = tokens.at[:, t + 1].set(nxt)
         newly_done = nxt == cfg.eos_token_id

@@ -14,7 +14,8 @@ from typing import Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["stream_chunks", "stream_mean_embedding"]
+__all__ = ["stream_chunks", "stream_mean_embedding", "stream_two_phase",
+           "stream_until"]
 
 
 def stream_chunks(

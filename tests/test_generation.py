@@ -128,3 +128,39 @@ def test_left_padded_batch_matches_single():
                               prompt_mask=jnp.asarray(mask)))
     np.testing.assert_array_equal(out[0], out1)
     np.testing.assert_array_equal(out[1], out2)
+
+
+def test_min_new_tokens_blocks_eos_on_first_token():
+    _, model, params = _tiny_pair(seed=7)
+    ids = np.random.default_rng(7).integers(3, 96, (1, 5))
+    free = np.asarray(generate(
+        model, params, GenerationConfig(max_new_tokens=8, eos_token_id=-1),
+        prompt_ids=jnp.asarray(ids))[0])
+    eos_tok = int(free[0])  # the very first greedy token
+    out = np.asarray(generate(
+        model, params,
+        GenerationConfig(max_new_tokens=8, eos_token_id=eos_tok,
+                         pad_token_id=0, min_new_tokens=4),
+        prompt_ids=jnp.asarray(ids))[0])
+    assert out[0] != eos_tok  # EOS banned at generated index 0
+
+
+def test_repetition_penalty_ignores_pad_buffer():
+    """pad_token_id == eos_token_id must not be penalized from step 0 (the
+    unwritten buffer tail is pad-initialised)."""
+    _, model, params = _tiny_pair(seed=8)
+    ids = np.random.default_rng(8).integers(3, 96, (1, 5))
+    base = np.asarray(generate(
+        model, params,
+        GenerationConfig(max_new_tokens=6, eos_token_id=-1, pad_token_id=7),
+        prompt_ids=jnp.asarray(ids))[0])
+    # token 7 never generated => a strong penalty must not alter anything
+    # until an actual repeat occurs; first two tokens must match exactly
+    pen = np.asarray(generate(
+        model, params,
+        GenerationConfig(max_new_tokens=6, eos_token_id=-1, pad_token_id=7,
+                         repetition_penalty=10.0),
+        prompt_ids=jnp.asarray(ids))[0])
+    assert pen[0] == base[0]
+    if base[1] != base[0]:
+        assert pen[1] == base[1]

@@ -57,3 +57,27 @@ def test_fused_in_full_ltm_attend():
                                rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(np.asarray(sp.sticky_mass),
                                np.asarray(sx.sticky_mass), rtol=2e-5, atol=2e-6)
+
+
+def test_fused_mass_with_ragged_query_length():
+    """q_len not a multiple of 8 (VC2 query+instruction case): padded rows
+    must not contaminate the sticky masses."""
+    cfg_x = ltm.LTMConfig(num_basis=64, chunk_len=8, sticky=False)
+    cfg_p = ltm.LTMConfig(num_basis=64, chunk_len=8, sticky=False,
+                          use_pallas=True, pallas_interpret=True)
+    key = jax.random.PRNGKey(3)
+    kp, kv, kq, kd = jax.random.split(key, 4)
+    params = {
+        "key": {"kernel": jax.random.normal(kp, (768, 768)) * 0.02,
+                "bias": jnp.zeros(768)},
+        "value": {"kernel": jax.random.normal(kv, (768, 768)) * 0.02,
+                  "bias": jnp.zeros(768)},
+    }
+    q = jax.random.normal(kq, (1, 35, 768)) * 0.5   # 35 % 8 != 0
+    chunk = jax.random.normal(kd, (1, 8 * 32, 768)) * 0.5
+    cx, sx = ltm.ltm_attend(cfg_x, params, ltm.init_state(cfg_x, 1), chunk, q)
+    cp, sp = ltm.ltm_attend(cfg_p, params, ltm.init_state(cfg_p, 1), chunk, q)
+    np.testing.assert_allclose(np.asarray(cp), np.asarray(cx),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(sp.sticky_mass),
+                               np.asarray(sx.sticky_mass), rtol=2e-5, atol=2e-6)
