@@ -89,6 +89,18 @@ def check_answer_option(pred: str, answer: str, content: str) -> int:
     return 0
 
 
+def _engine_protocol(engine) -> str:
+    """Declared engine wire protocol ("llama" | "mistral"); see
+    eval/engine.py. Explicit attribute rather than hasattr duck-typing so a
+    third engine cannot silently pick the wrong prompt assembly."""
+    proto = getattr(engine, "protocol", None)
+    if proto not in ("llama", "mistral"):
+        raise TypeError(
+            f"engine {type(engine).__name__} must declare protocol "
+            f"'llama' or 'mistral', got {proto!r}")
+    return proto
+
+
 def _mc_question_loop(engine, samples, frame_source, store: PredictionStore,
                       *, system: str, question_prompt: str, answer_prompt: str,
                       return_prompt: str, progress: Optional[Callable] = None):
@@ -96,14 +108,15 @@ def _mc_question_loop(engine, samples, frame_source, store: PredictionStore,
         if s["qid"] in store:
             continue
         chunks = frame_source(s["video"])
-        emb = engine.encode_video(chunks, system=system) \
-            if hasattr(engine, "qformer_tokenizer") else engine.encode_video(chunks)
-        if hasattr(engine, "qformer_tokenizer"):
+        proto = _engine_protocol(engine)
+        if proto == "mistral":
+            emb = engine.encode_video(chunks, system=system)
             pred = engine.answer(emb, s["question"], system=system,
                                  question_prompt=question_prompt,
                                  answer_prompt=answer_prompt,
                                  return_prompt=return_prompt)
         else:
+            emb = engine.encode_video(chunks)
             pred = engine.answer(emb, s["question"] + question_prompt)
         store.record(s["qid"], {"answer": s["answer"], "pred": pred,
                                 "content": s.get("answer_content", "")})
@@ -235,13 +248,13 @@ def run_videomme(engine, anno_json: str, frame_source, out_path: str, *,
         if sub:
             system = f"Subtitles: {sub}\n" + system
         chunks = frame_source(s["videoID"])
-        emb = engine.encode_video(chunks, system=system) \
-            if hasattr(engine, "qformer_tokenizer") else engine.encode_video(chunks)
-        if hasattr(engine, "qformer_tokenizer"):
+        if _engine_protocol(engine) == "mistral":
+            emb = engine.encode_video(chunks, system=system)
             pred = engine.answer(emb, question, system=system,
                                  question_prompt="\nOnly give the best option.",
                                  answer_prompt="Best option:(", return_prompt="(")
         else:
+            emb = engine.encode_video(chunks)
             pred = engine.answer(emb, question)
         m = re.match(r"\((\w)\)", pred)
         store.record(qid, {

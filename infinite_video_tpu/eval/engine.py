@@ -38,6 +38,12 @@ _LLAMA_SYSTEM = (
 
 
 class LLaMAVideoQA:
+    # Declared wire protocol consumed by eval/drivers.py dispatch: "llama"
+    # engines take the full prompt as one string; "mistral" engines take
+    # system/question_prompt/answer_prompt separately and feed the system text
+    # to the Q-former.
+    protocol = "llama"
+
     def __init__(self, encoder, enc_params, decoder, dec_params, tokenizer,
                  init_states: Callable):
         self.encoder = encoder
@@ -92,6 +98,8 @@ class LLaMAVideoQA:
 
 
 class MistralVideoQA:
+    protocol = "mistral"  # see LLaMAVideoQA.protocol
+
     def __init__(self, encoder, enc_params, decoder, dec_params, tokenizer,
                  init_states: Callable, qformer_tokenizer=None):
         self.encoder = encoder

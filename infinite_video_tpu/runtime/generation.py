@@ -71,9 +71,11 @@ def _next_token(key, logits, cfg: GenerationConfig, tokens=None,
         logits = _apply_repetition_penalty(logits, tokens, gen_index,
                                            cfg.repetition_penalty,
                                            logits.shape[-1])
-    if cfg.min_new_tokens > 1:
-        # forbid EOS while the generated count would stay < min_new_tokens
-        block = gen_index < cfg.min_new_tokens - 1
+    if cfg.min_new_tokens >= 1:
+        # HF MinNewTokensLengthLogitsProcessor: EOS is banned while the number
+        # of tokens generated *so far* (= gen_index at pick time) is below
+        # min_new_tokens, so min_new_tokens=1 blocks EOS as the first token.
+        block = gen_index < cfg.min_new_tokens
         logits = jnp.where(
             block & (jnp.arange(logits.shape[-1]) == cfg.eos_token_id)[None, :],
             -jnp.inf, logits)

@@ -66,14 +66,18 @@ def stream_two_phase(
     c, b = chunks.shape[:2]
     flat = chunks.reshape((c * b,) + chunks.shape[2:])
     if vit_macro_batch and vit_macro_batch < c:
-        n_macro = -(-c // vit_macro_batch)
-        pads = n_macro * vit_macro_batch - c
-        flat = jnp.concatenate([flat, jnp.zeros((pads * b,) + flat.shape[1:],
-                                                flat.dtype)])
-        macro = flat.reshape((n_macro, vit_macro_batch * b) + flat.shape[1:])
+        # Full macro-batches scan under lax.map; the remainder gets its own
+        # (statically-shaped) encode rather than zero-padding to a full macro
+        # batch — padding would burn real ViT FLOPs on dead frames when
+        # vit_macro_batch >> remainder.
+        n_full = c // vit_macro_batch
+        split = n_full * vit_macro_batch * b
+        macro = flat[:split].reshape(
+            (n_full, vit_macro_batch * b) + flat.shape[1:])
         tokens = jax.lax.map(encode_frames, macro)
-        tokens = tokens.reshape((n_macro * vit_macro_batch * b,) + tokens.shape[2:])
-        tokens = tokens[: c * b]
+        tokens = tokens.reshape((split,) + tokens.shape[2:])
+        if split < c * b:
+            tokens = jnp.concatenate([tokens, encode_frames(flat[split:])])
     else:
         tokens = encode_frames(flat)
     frame_tokens = tokens.reshape((c, b) + tokens.shape[1:])

@@ -61,7 +61,7 @@ def test_run_name_matches_reference_format():
 class FakeMistralEngine:
     """Answers with the option letter hidden in the video name."""
 
-    qformer_tokenizer = object()  # marks the mistral protocol path
+    protocol = "mistral"
 
     def encode_video(self, chunks, system="", rng=None):
         return chunks

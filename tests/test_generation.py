@@ -144,6 +144,14 @@ def test_min_new_tokens_blocks_eos_on_first_token():
         prompt_ids=jnp.asarray(ids))[0])
     assert out[0] != eos_tok  # EOS banned at generated index 0
 
+    # HF semantics: min_new_tokens=1 also blocks EOS as the *first* token
+    out1 = np.asarray(generate(
+        model, params,
+        GenerationConfig(max_new_tokens=8, eos_token_id=eos_tok,
+                         pad_token_id=0, min_new_tokens=1),
+        prompt_ids=jnp.asarray(ids))[0])
+    assert out1[0] != eos_tok
+
 
 def test_repetition_penalty_ignores_pad_buffer():
     """pad_token_id == eos_token_id must not be penalized from step 0 (the

@@ -23,22 +23,33 @@ import numpy as np
 import torch
 
 REF = "/root/reference/infty-Video-LLaMA/InfVideoLLaMA/models"
+REF_VC2 = "/root/reference/infty-VideoChat2/models/blip2"
 OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
+
+
+def _load_pair(ref_dir, pkg_name):
+    pkg = types.ModuleType(pkg_name)
+    pkg.__path__ = [ref_dir]
+    sys.modules[pkg_name] = pkg
+    for name in ("basis_functions", "long_term_attention_gibbs"):
+        spec = importlib.util.spec_from_file_location(
+            f"{pkg_name}.{name}", os.path.join(ref_dir, f"{name}.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"{pkg_name}.{name}"] = mod
+        spec.loader.exec_module(mod)
+    return sys.modules[f"{pkg_name}.long_term_attention_gibbs"]
 
 
 def load_reference_ltm():
     """Import the reference module pair as a synthetic package."""
-    pkg = types.ModuleType("_refmodels")
-    pkg.__path__ = [REF]
-    sys.modules["_refmodels"] = pkg
-    for name in ("basis_functions", "long_term_attention_gibbs"):
-        spec = importlib.util.spec_from_file_location(
-            f"_refmodels.{name}", os.path.join(REF, f"{name}.py")
-        )
-        mod = importlib.util.module_from_spec(spec)
-        sys.modules[f"_refmodels.{name}"] = mod
-        spec.loader.exec_module(mod)
-    return sys.modules["_refmodels.long_term_attention_gibbs"]
+    return _load_pair(REF, "_refmodels")
+
+
+def load_reference_ltm_vc2():
+    """The VideoChat2 copy — differs only in pooling geometry
+    (196 patches x 1024 features, 96 query tokens)."""
+    return _load_pair(REF_VC2, "_refmodels_vc2")
 
 
 def make_ltm(mod, num_basis, tau, sticky, proj_key, proj_value):
@@ -109,6 +120,39 @@ def run_case(mod, *, num_basis, chunk_len, tau, sticky, num_chunks, seed, tag):
           f"tau={tau}, sticky={sticky}")
 
 
+def run_case_vc2(mod, *, num_basis, chunk_len, tau, num_chunks, seed, tag):
+    """VC2 pooling variant: k=[1, L*196, 1024], q=[1, 96, 768], proj 1024->768
+    (infty-VideoChat2/models/blip2/long_term_attention_gibbs.py:291,304)."""
+    torch.manual_seed(seed)
+    proj_key = torch.nn.Linear(1024, 768)
+    proj_value = torch.nn.Linear(1024, 768)
+    ltm = make_ltm(mod, num_basis, tau, False, proj_key, proj_value)
+
+    chunks = [torch.randn(1, chunk_len * 196, 1024) * 0.5
+              for _ in range(num_chunks)]
+    q = torch.randn(1, 96, 768) * 0.5
+
+    contexts, bs = [], []
+    with torch.no_grad():
+        for i, k in enumerate(chunks):
+            ctx = ltm(k, q, new_doc=(i == 0), layer_n=0)
+            contexts.append(ctx.numpy().copy())
+            bs.append(ltm.B_past.numpy().copy())
+
+    out = {
+        "q": q.numpy(),
+        "wk": proj_key.weight.detach().numpy(), "bk": proj_key.bias.detach().numpy(),
+        "wv": proj_value.weight.detach().numpy(), "bv": proj_value.bias.detach().numpy(),
+    }
+    for i in range(num_chunks):
+        out[f"k{i}"] = chunks[i].numpy()
+        out[f"ctx{i}"] = contexts[i]
+        out[f"B{i}"] = bs[i]
+    path = os.path.join(OUT, f"ltm_{tag}.npz")
+    np.savez_compressed(path, **out)
+    print(f"wrote {path}: {num_chunks} chunks, N={num_basis}, L={chunk_len} (vc2)")
+
+
 def gen_gmatrix_fixtures(mod):
     """Golden G / G_inf / resample matrices straight from the reference."""
     for num_basis, chunk_len, tau in [(64, 16, 0.75), (256, 8, 0.75),
@@ -141,6 +185,12 @@ def main():
     # Sticky path with recorded draws, 3 chunks.
     run_case(mod, num_basis=64, chunk_len=16, tau=0.75, sticky=True,
              num_chunks=3, seed=2, tag="sticky_n64_l16")
+    # NExT-QA recipe geometry (README.md:39: max_int=256, num_basis=256).
+    run_case(mod, num_basis=256, chunk_len=256, tau=0.75, sticky=True,
+             num_chunks=2, seed=5, tag="sticky_n256_l256")
+    # VC2 pooling variant (196x1024 patches, 96 query tokens).
+    run_case_vc2(load_reference_ltm_vc2(), num_basis=64, chunk_len=4,
+                 tau=0.75, num_chunks=2, seed=7, tag="vc2_n64_l4")
 
 
 if __name__ == "__main__":
