@@ -22,6 +22,12 @@ def main(argv=None):
     p.add_argument("--stage", choices=["qformer", "it"], default="it")
     p.add_argument("--output-dir", required=True)
     p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--zero", action="store_true",
+                   help="ZeRO-1/2: shard optimizer state over the dp axis "
+                        "(DeepSpeed-equivalent, tasks/shared_utils_ds.py)")
+    p.add_argument("--accum-steps", type=int, default=1,
+                   help="gradient accumulation microsteps (accum_grad_iters, "
+                        "InfVideoLLaMA/tasks/base_task.py:150-241)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny random-weight model + toy tokenizer (integration)")
     p.add_argument("overrides", nargs="*", help="dotlist key=value overrides")
@@ -36,7 +42,8 @@ def main(argv=None):
     from infinite_video_tpu.training.optim import (cosine_warmup_schedule,
                                                    make_optimizer)
     from infinite_video_tpu.training.runner import Runner, RunnerConfig
-    from infinite_video_tpu.training.trainer import TrainState, make_train_step
+    from infinite_video_tpu.training.trainer import (init_train_state,
+                                                     make_train_step)
     from infinite_video_tpu.utils.config import load_config
     from infinite_video_tpu.utils.logging import setup_logger
 
@@ -92,8 +99,10 @@ def main(argv=None):
                 max_grad_norm=cfg.optimizer.get("max_grad_norm", 1.0),
                 trainable_pattern=cfg.optimizer.get(
                     "trainable_pattern", r"(qformer|query_tokens|_proj)"))
-            state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
-            step = jax.jit(make_train_step(encoder, decoder, tx))
+            state = init_train_state(params, tx, mesh=mesh, zero=args.zero)
+            step = jax.jit(make_train_step(encoder, decoder, tx, mesh=mesh,
+                                           zero=args.zero,
+                                           accum_steps=args.accum_steps))
 
             def make_loader(epoch, skip):
                 from infinite_video_tpu.data.loader import MetaLoader

@@ -3,9 +3,9 @@
 Mirrors the reference's factories: AdamW with weight-decay filtering of
 norms/biases and per-module LR groups (infty-VideoChat2/utils/optimizer.py:10-62),
 cosine-with-warmup schedules (utils/scheduler.py:10-57,
-InfVideoLLaMA/common/optims.py:14-119). Expressed as optax transforms; ZeRO-1
-style optimizer-state sharding falls out of placing the optimizer tree with
-the dp axis (training/trainer.py).
+InfVideoLLaMA/common/optims.py:14-119). Expressed as optax transforms.
+ZeRO-style optimizer-state sharding over dp is implemented in
+parallel/sharding.py::zero_shardings + training/trainer.py (zero=True).
 """
 
 from __future__ import annotations

@@ -5,8 +5,12 @@ TPU-native replacement for the reference's DDP/DeepSpeed loops
 instead of NCCL all-reduce + GradScaler, the step is one jitted function over
 a ("dp","tp") mesh — batch sharded over dp, the decoder tensor-parallel over
 tp (parallel/sharding.py), gradients reduced by XLA collectives over ICI.
-Optimizer state inherits the parameter shardings (ZeRO-equivalent along tp;
-replicated elsewhere). bf16 params with fp32 master logic is handled by optax.
+With zero=True the optimizer state is additionally partitioned over dp
+(parallel/sharding.py::zero_shardings — ZeRO stage 1/2 equivalent of the
+reference's DeepSpeed trainer, tasks/shared_utils_ds.py:58-61): moments
+update shard-locally and the parameter updates are gathered back to the
+params' shardings by XLA, all inside the one jitted step. bf16 params with
+fp32 master logic is handled by optax.
 
 The objective mirrors VideoChat2_it_mistral.forward
 (videochat2_it_mistral.py:258-352): video query embeddings are spliced between
@@ -23,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-__all__ = ["TrainState", "make_train_step", "it_loss"]
+__all__ = ["TrainState", "init_train_state", "make_train_step", "it_loss"]
 
 
 class TrainState(NamedTuple):
@@ -32,17 +36,10 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def it_loss(encoder, decoder, params, batch, rng, ltm_on: bool = True):
-    """Instruction-tuning LM loss.
-
-    batch: {
-      pixels        [B, T, H, W, C],
-      instruction_ids, instruction_mask          (Q-former text input)
-      pre_ids  [B, S1]   — prompt tokens before the video
-      post_ids [B, S2]   — prompt + answer tokens after the video
-      labels   [B, S1+Q+S2] with -100 on non-answer positions
-    }
-    """
+def it_loss_parts(encoder, decoder, params, batch, rng, ltm_on: bool = True):
+    """(masked token-loss sum, masked token count) — the linear parts of the
+    IT loss, so gradient accumulation over microbatches can reproduce the
+    large-batch loss exactly: total_sum/total_count."""
     from infinite_video_tpu.models.qformer import init_ltm_states
 
     enc_params, dec_params = params["encoder"], params["decoder"]
@@ -68,20 +65,104 @@ def it_loss(encoder, decoder, params, batch, rng, ltm_on: bool = True):
     mask = (shift_labels != -100).astype(jnp.float32)
     safe = jnp.where(shift_labels == -100, 0, shift_labels)
     ll = optax.softmax_cross_entropy_with_integer_labels(shift_logits, safe)
-    return (ll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+    return (ll * mask).sum(), mask.sum()
+
+
+def it_loss(encoder, decoder, params, batch, rng, ltm_on: bool = True):
+    """Instruction-tuning LM loss.
+
+    batch: {
+      pixels        [B, T, H, W, C],
+      instruction_ids, instruction_mask          (Q-former text input)
+      pre_ids  [B, S1]   — prompt tokens before the video
+      post_ids [B, S2]   — prompt + answer tokens after the video
+      labels   [B, S1+Q+S2] with -100 on non-answer positions
+    }
+    """
+    total, count = it_loss_parts(encoder, decoder, params, batch, rng, ltm_on)
+    return total / jnp.maximum(count, 1.0)
+
+
+def init_train_state(params, tx: optax.GradientTransformation,
+                     mesh=None, zero: bool = False, rules=None) -> TrainState:
+    """Build a TrainState; with zero=True the optimizer state is placed
+    dp-sharded on the mesh (ZeRO-1/2)."""
+    opt_state = tx.init(params)
+    if zero and mesh is not None:
+        from infinite_video_tpu.parallel.sharding import (DECODER_TP_RULES,
+                                                          zero_shardings)
+        sh = zero_shardings(opt_state, mesh, rules or DECODER_TP_RULES)
+        opt_state = jax.tree_util.tree_map(jax.device_put, opt_state, sh)
+    return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
 
 
 def make_train_step(encoder, decoder, tx: optax.GradientTransformation,
-                    ltm_on: bool = True) -> Callable:
+                    ltm_on: bool = True, mesh=None, zero: bool = False,
+                    rules=None, accum_steps: int = 1) -> Callable:
     """Returns `step(state, batch, rng) -> (state, metrics)`, jit-able under a
-    mesh with dp-sharded batches."""
+    mesh with dp-sharded batches.
+
+    zero=True (requires mesh): constrain the updated optimizer state to the
+    ZeRO dp-shardings and the param updates back to the params' (TP-only)
+    shardings — XLA then computes moments shard-locally and inserts the
+    update all-gather over dp, the ZeRO-1/2 communication pattern.
+
+    accum_steps>1: gradient accumulation (accum_grad_iters,
+    InfVideoLLaMA/tasks/base_task.py:150-241). The batch's leading dim must be
+    divisible by accum_steps; microbatches run under lax.scan accumulating the
+    *linear* loss parts (token-loss sum and token count), so the resulting
+    update is bit-for-bit the large-batch update — not a mean of per-microbatch
+    normalized losses, which would weight microbatches with unequal answer
+    lengths differently.
+    """
+    if zero and mesh is None:
+        raise ValueError("zero=True requires a mesh")
+    if accum_steps < 1:
+        raise ValueError("accum_steps must be >= 1")
+    if zero:
+        from infinite_video_tpu.parallel.sharding import (DECODER_TP_RULES,
+                                                          tree_shardings,
+                                                          zero_shardings)
+        rules = rules or DECODER_TP_RULES
+
+    def accumulate(params, batch, rng):
+        def parts_fn(p, mb, key):
+            return it_loss_parts(encoder, decoder, p, mb, key, ltm_on)
+
+        micro = jax.tree_util.tree_map(
+            lambda x: x.reshape((accum_steps, x.shape[0] // accum_steps)
+                                + x.shape[1:]), batch)
+
+        def body(carry, mb_key):
+            gsum, lsum, csum = carry
+            mb, key = mb_key
+            (s, c), g = jax.value_and_grad(
+                lambda p: parts_fn(p, mb, key), has_aux=True)(params)
+            gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
+            return (gsum, lsum + s, csum + c), None
+
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        keys = jax.random.split(rng, accum_steps)
+        (gsum, lsum, csum), _ = jax.lax.scan(
+            body, (zeros, jnp.zeros(()), jnp.zeros(())), (micro, keys))
+        denom = jnp.maximum(csum, 1.0)
+        grads = jax.tree_util.tree_map(lambda g: g / denom, gsum)
+        return lsum / denom, grads
 
     def step(state: TrainState, batch, rng):
-        def loss_fn(params):
-            return it_loss(encoder, decoder, params, batch, rng, ltm_on)
+        if accum_steps == 1:
+            def loss_fn(params):
+                return it_loss(encoder, decoder, params, batch, rng, ltm_on)
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        else:
+            loss, grads = accumulate(state.params, batch, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        if zero:
+            opt_state = jax.lax.with_sharding_constraint(
+                opt_state, zero_shardings(opt_state, mesh, rules))
+            updates = jax.lax.with_sharding_constraint(
+                updates, tree_shardings(updates, mesh, rules))
         params = optax.apply_updates(state.params, updates)
         gnorm = optax.global_norm(grads)
         return TrainState(params, opt_state, state.step + 1), {

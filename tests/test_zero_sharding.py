@@ -1,0 +1,104 @@
+"""ZeRO-over-dp optimizer sharding: per-device optimizer memory drops
+~dp-fold and the sharded step matches the replicated step exactly.
+
+TPU-native equivalent of the reference's DeepSpeed ZeRO stage 1/2 trainer
+(infty-VideoChat2/tasks/shared_utils_ds.py:58-61, utils/config_utils.py:46-60).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from infinite_video_tpu.models import videochat2 as vc2
+from infinite_video_tpu.models.decoder import Decoder
+from infinite_video_tpu.parallel.mesh import make_mesh
+from infinite_video_tpu.parallel.sharding import (DECODER_TP_RULES,
+                                                  shard_params, zero_spec,
+                                                  zero_shardings)
+from infinite_video_tpu.training.optim import (cosine_warmup_schedule,
+                                               make_optimizer)
+from infinite_video_tpu.training.trainer import (TrainState, init_train_state,
+                                                 make_train_step)
+
+
+def test_zero_spec_picks_first_free_divisible_axis():
+    assert zero_spec(P(None, "tp"), (8, 16), 4) == P("dp", "tp")
+    assert zero_spec(P("tp", None), (8, 16), 4) == P("tp", "dp")
+    assert zero_spec(P(), (6,), 4) == P()        # indivisible -> replicated
+    assert zero_spec(P(), (), 4) == P()          # scalar
+    assert zero_spec(P(), (8, 6), 1) == P()      # dp=1 no-op
+
+
+def _setup(mesh, zero):
+    cfg = vc2.tiny_config()
+    encoder = vc2.VideoChat2Encoder(cfg)
+    decoder = Decoder(cfg.decoder)
+    b = mesh.shape["dp"]
+    t = cfg.vit.num_frames
+    rng = jax.random.PRNGKey(0)
+    pixels = jax.random.normal(rng, (b, t, 224, 224, 3)) * 0.1
+    instr = jnp.tile(jnp.arange(6)[None], (b, 1))
+    pre_ids = jnp.tile(jnp.arange(4)[None], (b, 1))
+    post_ids = jnp.tile(jnp.arange(5)[None], (b, 1))
+    q = cfg.total_query_tokens
+    labels = jnp.concatenate([
+        jnp.full((b, 4 + q), -100, jnp.int32),
+        jnp.tile(jnp.arange(5)[None], (b, 1)).astype(jnp.int32)], axis=1)
+    batch = {"pixels": pixels, "instruction_ids": instr, "pre_ids": pre_ids,
+             "post_ids": post_ids, "labels": labels}
+
+    enc_params = encoder.init(jax.random.PRNGKey(1), pixels[:1],
+                              encoder.init_states(1),
+                              instruction_ids=instr[:1])["params"]
+    dec_params = decoder.init(jax.random.PRNGKey(2), input_ids=pre_ids[:1])["params"]
+    with mesh:
+        params = {"encoder": shard_params(enc_params, mesh, rules=()),
+                  "decoder": shard_params(dec_params, mesh)}
+        tx = make_optimizer(cosine_warmup_schedule(1e-2, 2, 100))
+        state = init_train_state(params, tx, mesh=mesh, zero=zero)
+        batch = jax.tree_util.tree_map(
+            lambda x: jax.device_put(
+                x, NamedSharding(mesh, P("dp", *([None] * (x.ndim - 1))))),
+            batch)
+        step = jax.jit(make_train_step(encoder, decoder, tx, mesh=mesh,
+                                       zero=zero))
+        for _ in range(2):
+            state, metrics = step(state, batch, jax.random.PRNGKey(3))
+    return state, metrics
+
+
+def _moment_bytes_on_device0(opt_state):
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(opt_state):
+        if getattr(leaf, "ndim", 0) >= 1:
+            total += leaf.addressable_shards[0].data.nbytes
+    return total
+
+
+def test_zero_shards_moments_and_matches_replicated_step():
+    mesh = make_mesh(dp=4, tp=2, devices=jax.devices())
+
+    state_z, metrics_z = _setup(mesh, zero=True)
+    state_r, metrics_r = _setup(mesh, zero=False)
+
+    # identical math: params and loss agree between sharded and replicated
+    np.testing.assert_allclose(float(metrics_z["loss"]),
+                               float(metrics_r["loss"]), rtol=1e-5)
+    flat_z = jax.tree_util.tree_leaves_with_path(state_z.params)
+    flat_r = dict(jax.tree_util.tree_leaves_with_path(state_r.params))
+    for path, leaf in flat_z:
+        np.testing.assert_allclose(np.asarray(leaf),
+                                   np.asarray(flat_r[path]),
+                                   rtol=2e-4, atol=1e-6, err_msg=str(path))
+
+    # a decoder q_proj moment is sharded over dp (and tp)
+    shardings = jax.tree_util.tree_map(lambda x: x.sharding, state_z.opt_state)
+    found = [s for p, s in jax.tree_util.tree_leaves_with_path(shardings)
+             if "q_proj" in str(p) and "kernel" in str(p)]
+    assert found and all("dp" in str(s.spec) for s in found)
+
+    # per-device optimizer memory drops ~dp-fold for the moment trees
+    z_bytes = _moment_bytes_on_device0(state_z.opt_state)
+    r_bytes = _moment_bytes_on_device0(state_r.opt_state)
+    assert z_bytes < r_bytes / 2.5, (z_bytes, r_bytes)
