@@ -122,8 +122,9 @@ def main(argv=None):
 
 
 def _build_it_loaders(cfg, mcfg, epoch, tiny=False):
-    """Named batch loaders from cfg.datasets entries (ann/data_root/batch);
-    each yields collated train-step dicts (training/collate.py)."""
+    """Named batch loaders from cfg.datasets entries (ann/data_root/batch) or
+    registry corpus names (cfg.corpora — configs/{data,instruction_data}.py
+    equivalents); each yields collated train-step dicts (training/collate.py)."""
     from infinite_video_tpu.data.datasets import InstructionDataset
     from infinite_video_tpu.data.loader import StatefulShardSampler
     from infinite_video_tpu.data.processors import train_processor
@@ -137,6 +138,21 @@ def _build_it_loaders(cfg, mcfg, epoch, tiny=False):
         from transformers import AutoTokenizer
 
         tokenizer = AutoTokenizer.from_pretrained(cfg.model["llm_path"])
+
+    corpora_cfg = cfg.get("corpora")
+    if corpora_cfg:
+        from infinite_video_tpu.data.corpora import build_corpus_loaders
+
+        return build_corpus_loaders(
+            corpora_cfg.get("names", []),
+            processor=train_processor(image_size=mcfg.vit.img_size),
+            tokenizer=tokenizer, num_frames=mcfg.vit.num_frames,
+            num_query_tokens=mcfg.total_query_tokens,
+            batch_size=corpora_cfg.get("batch_size", 1),
+            anno_root=corpora_cfg.get("anno_root", ""),
+            data_root=corpora_cfg.get("data_root", ""),
+            dialect=corpora_cfg.get("dialect", "mistral"),
+            seed=epoch)
     loaders = {}
     for name, dcfg in cfg.get("datasets", {}).items():
         ds = InstructionDataset(dcfg["ann_file"], dcfg["data_root"],

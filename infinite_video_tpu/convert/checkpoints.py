@@ -14,17 +14,22 @@ The reference assembles its models from stacked partial checkpoints with
 
 Here each stage is converted with the matching converter (qformer / vit /
 decoder) and deep-merged onto the param tree — later stages override earlier
-ones, unknown keys are reported, missing keys keep their initialization
-(exactly `strict=False`). Training-side save/restore of full TrainStates uses
-orbax (save_train_state / restore_train_state).
+ones, missing keys keep their initialization (exactly `strict=False`), and
+every source key that maps to no parameter is collected into the `report`
+dict and logged — key-naming drift loads loudly instead of silently.
+Training-side save/restore of full TrainStates uses orbax
+(save_train_state / restore_train_state).
 """
 
 from __future__ import annotations
 
+import logging
 import os
-from typing import Dict, Iterable, Mapping, Optional, Tuple
+from typing import Dict, Iterable, List, Mapping, Optional, Tuple
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 from infinite_video_tpu.convert.decoder import convert_decoder_state_dict, merge_lora
 from infinite_video_tpu.convert.qformer import convert_qformer_state_dict
@@ -111,29 +116,51 @@ def _layernorm(sub: Mapping, out: Dict, name: str):
                      "bias": np.asarray(sub["bias"], np.float32)}
 
 
+def _report_unconsumed(report: Optional[Dict], path: str, keys: List[str]):
+    """Record + log source keys no converter consumed (strict=False, loudly)."""
+    if keys:
+        logger.warning("checkpoint %s: %d unconsumed keys (first 10: %s)",
+                       path, len(keys), keys[:10])
+    if report is not None:
+        report.setdefault(path, []).extend(keys)
+
+
 def assemble_infvideollama_params(
     init_params: Dict,
     checkpoint_paths: Iterable[str],
     decoder_path: Optional[str] = None,
+    report: Optional[Dict] = None,
 ) -> Tuple[Dict, Dict]:
     """Overlay reference ∞-Video-LLaMA checkpoints onto an encoder init tree.
 
     Returns (encoder_params, decoder_params_or_None). `checkpoint_paths` are
     applied in order (q_former_model, ckpt, ckpt_2 — infinityqa.py semantics).
+    `report`, when given, collects {checkpoint_path: [unconsumed keys]}.
     """
     params = init_params
     for path in checkpoint_paths:
         sd = load_torch_state_dict(path)
         comps = split_reference_checkpoint(sd)
+        lost: List[str] = list(comps["other"])
+
+        def convert(fn, comp, prefix, **kw):
+            sub: List[str] = []
+            out = fn(comps[comp], unconsumed=sub, **kw)
+            lost.extend(prefix + k for k in sub)
+            return out
+
         upd: Dict = {}
         if comps["visual_encoder"]:
-            upd["visual_encoder"] = convert_vit_state_dict(comps["visual_encoder"])
+            upd["visual_encoder"] = convert(convert_vit_state_dict,
+                                            "visual_encoder", "visual_encoder.")
         if comps["ln_vision"]:
             _layernorm(comps["ln_vision"], upd, "ln_vision")
         if comps["qformer"]:
-            upd["Qformer"] = convert_qformer_state_dict(comps["qformer"])
+            upd["Qformer"] = convert(convert_qformer_state_dict,
+                                     "qformer", "Qformer.")
         if comps["video_qformer"]:
-            upd["video_Qformer"] = convert_qformer_state_dict(comps["video_qformer"])
+            upd["video_Qformer"] = convert(convert_qformer_state_dict,
+                                           "video_qformer", "video_Qformer.")
         if comps["query_tokens"]:
             upd["query_tokens"] = np.asarray(
                 comps["query_tokens"]["query_tokens"], np.float32)
@@ -146,10 +173,18 @@ def assemble_infvideollama_params(
             upd["video_frame_position_embedding"] = np.asarray(w, np.float32)
         if comps["llama_proj"]:
             _dense(comps["llama_proj"], upd, "llama_proj")
+        if comps["decoder"]:
+            # decoder weights inside a mixed checkpoint are loaded only via
+            # decoder_path; flag them so a full-model .pth isn't half-read
+            lost.extend("llama_model." + k for k in comps["decoder"])
+        _report_unconsumed(report, path, lost)
         deep_merge(params, upd)
     decoder_params = None
     if decoder_path:
-        decoder_params = convert_decoder_state_dict(load_torch_state_dict(decoder_path))
+        lost = []
+        decoder_params = convert_decoder_state_dict(
+            load_torch_state_dict(decoder_path), unconsumed=lost)
+        _report_unconsumed(report, decoder_path, lost)
     return params, decoder_params
 
 
@@ -160,20 +195,32 @@ def assemble_videochat2_params(
     lora_path: Optional[str] = None,
     lora_alpha: float = 32.0,
     lora_r: int = 16,
+    report: Optional[Dict] = None,
 ) -> Tuple[Dict, Optional[Dict]]:
     """Overlay VC2 checkpoints (vit_blip → stage ckpt) and merge stage-3 LoRA
-    into the Mistral decoder weights."""
+    into the Mistral decoder weights. `report`, when given, collects
+    {checkpoint_path: [unconsumed keys]}."""
     params = init_params
     for path in checkpoint_paths:
         sd = load_torch_state_dict(path)
         comps = split_reference_checkpoint(sd)
+        lost: List[str] = list(comps["other"])
+
+        def convert(fn, comp, prefix, **kw):
+            sub: List[str] = []
+            out = fn(comps[comp], unconsumed=sub, **kw)
+            lost.extend(prefix + k for k in sub)
+            return out
+
         upd: Dict = {}
         if comps["visual_encoder"]:
-            upd["vision_encoder"] = convert_vit_state_dict(comps["visual_encoder"])
+            upd["vision_encoder"] = convert(convert_vit_state_dict,
+                                            "visual_encoder", "vision_encoder.")
         if comps["vision_layernorm"]:
             _layernorm(comps["vision_layernorm"], upd, "vision_layernorm")
         if comps["qformer"]:
-            upd["qformer"] = convert_qformer_state_dict(comps["qformer"])
+            upd["qformer"] = convert(convert_qformer_state_dict,
+                                     "qformer", "qformer.")
         if comps["query_tokens"]:
             upd["query_tokens"] = np.asarray(comps["query_tokens"]["query_tokens"],
                                              np.float32)
@@ -182,6 +229,12 @@ def assemble_videochat2_params(
                 comps["extra_query_tokens"]["extra_query_tokens"], np.float32)
         if comps["mistral_proj"]:
             _dense(comps["mistral_proj"], upd, "mistral_proj")
+        if comps["decoder"]:
+            # LoRA-bearing stage ckpts carry mistral_model.* adapter keys;
+            # those merge via decoder_path+lora_path, not here
+            if not lora_path:
+                lost.extend("mistral_model." + k for k in comps["decoder"])
+        _report_unconsumed(report, path, lost)
         deep_merge(params, upd)
 
     decoder_params = None
@@ -191,7 +244,9 @@ def assemble_videochat2_params(
             lora_sd = load_torch_state_dict(lora_path)
             dec_sd = {**dec_sd, **lora_sd}
             dec_sd = merge_lora(dec_sd, lora_alpha=lora_alpha, r=lora_r)
-        decoder_params = convert_decoder_state_dict(dec_sd)
+        lost = []
+        decoder_params = convert_decoder_state_dict(dec_sd, unconsumed=lost)
+        _report_unconsumed(report, decoder_path, lost)
     return params, decoder_params
 
 

@@ -65,7 +65,9 @@ def merge_lora(state_dict, lora_alpha: float, r: int) -> Dict:
     return out
 
 
-def convert_decoder_state_dict(state_dict) -> Dict:
+def convert_decoder_state_dict(state_dict, unconsumed: list | None = None) -> Dict:
+    """`unconsumed` optionally collects source keys that mapped to no
+    parameter (rotary inv_freq buffers are intentional skips)."""
     params: Dict = {}
 
     def put(path, v):
@@ -73,6 +75,10 @@ def convert_decoder_state_dict(state_dict) -> Dict:
         for p in path[:-1]:
             node = node.setdefault(p, {})
         node[path[-1]] = v
+
+    def note(key):
+        if unconsumed is not None and "rotary_emb.inv_freq" not in key:
+            unconsumed.append(key)
 
     for key, w in state_dict.items():
         k = key
@@ -88,6 +94,7 @@ def convert_decoder_state_dict(state_dict) -> Dict:
         else:
             m = re.match(r"layers\.(\d+)\.(.+)", k)
             if not m:
+                note(key)
                 continue
             i, rest = int(m.group(1)), m.group(2)
             lp = (f"layer_{i}",)
@@ -100,4 +107,6 @@ def convert_decoder_state_dict(state_dict) -> Dict:
                 if m2:
                     put(lp + (m2.group(2), "kernel"),
                         np.ascontiguousarray(_to_np(w).T))
+                else:
+                    note(key)
     return params

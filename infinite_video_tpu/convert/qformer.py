@@ -38,14 +38,21 @@ def _layernorm(tree, prefix, torch_key, w):
     _set(tree, prefix + (name,), w)
 
 
-def convert_qformer_state_dict(state_dict) -> Dict:
+def convert_qformer_state_dict(state_dict, unconsumed: list | None = None) -> Dict:
     """Returns a flax param dict for `QFormer` from a torch state_dict.
 
     Accepts tensors or numpy arrays; "bert." / "Qformer.bert." prefixes and
-    LTM/position-id buffers are handled.
+    LTM/position-id buffers are handled. `unconsumed` optionally collects
+    source keys that mapped to no parameter (LTM buffers, position-id
+    buffers, and cls-head keys — which convert_lm_head_state_dict owns — are
+    intentional skips and excluded).
     """
     params: Dict = {}
     attn_inner = {"query": "query", "key": "key", "value": "value"}
+
+    def note(key):
+        if unconsumed is not None:
+            unconsumed.append(key)
 
     for key, w in state_dict.items():
         w = np.asarray(getattr(w, "detach", lambda: w)().cpu().numpy()
@@ -54,7 +61,8 @@ def convert_qformer_state_dict(state_dict) -> Dict:
         for pre in ("Qformer.", "bert."):
             if k.startswith(pre):
                 k = k[len(pre):]
-        if "long_term_attention" in k or k.endswith("position_ids"):
+        if ("long_term_attention" in k or k.endswith("position_ids")
+                or k.startswith("cls.")):
             continue
 
         if k.startswith("embeddings."):
@@ -64,6 +72,8 @@ def convert_qformer_state_dict(state_dict) -> Dict:
                 _set(params, ("position_embeddings", "embedding"), w)
             elif "LayerNorm" in k:
                 _layernorm(params, ("embeddings_ln",), k, w)
+            else:
+                note(key)
             continue
 
         m = re.match(r"encoder\.layer\.(\d+)\.(.+)", k)
@@ -94,7 +104,10 @@ def convert_qformer_state_dict(state_dict) -> Dict:
                     _linear(params, lp + ("ffn", "output"), rest, w)
                 elif rest.startswith("output.LayerNorm"):
                     _layernorm(params, lp + ("ffn", "ln"), rest, w)
+                else:
+                    note(key)
             continue
+        note(key)
     return params
 
 

@@ -44,9 +44,19 @@ def interpolate_pos_embed(pos_embed: np.ndarray, target_grid: int) -> np.ndarray
     return np.concatenate([extra, out], axis=1).astype(np.float32)
 
 
-def convert_vit_state_dict(state_dict, target_grid: int | None = None) -> Dict:
+# state_dict entries that are valid in reference checkpoints but have no
+# target parameter here (buffers / fp16 helpers), skipped by design.
+_INTENTIONAL_SKIPS = (".attn.rel_pos_bias", "rope.freqs", ".attn.q_proj_mask",
+                      "mask_token", "fc_norm.")
+
+
+def convert_vit_state_dict(state_dict, target_grid: int | None = None,
+                           unconsumed: list | None = None) -> Dict:
     """`target_grid`: interpolate a learned pos-embed to grid×grid patches
-    (images at a different eval resolution than the checkpoint's 224)."""
+    (images at a different eval resolution than the checkpoint's 224).
+    `unconsumed`: optional list collecting source keys that mapped to no
+    parameter (key-naming drift detector; intentional buffer skips excluded).
+    """
     params: Dict = {}
 
     def put(path, v):
@@ -54,6 +64,11 @@ def convert_vit_state_dict(state_dict, target_grid: int | None = None) -> Dict:
         for p in path[:-1]:
             node = node.setdefault(p, {})
         node[path[-1]] = v
+
+    def note(key):
+        if unconsumed is not None and not any(
+                s in key for s in _INTENTIONAL_SKIPS):
+            unconsumed.append(key)
 
     for key, w in state_dict.items():
         w = _to_np(w)
@@ -85,6 +100,7 @@ def convert_vit_state_dict(state_dict, target_grid: int | None = None) -> Dict:
             continue
         m = re.match(r"blocks\.(\d+)\.(.+)", k)
         if not m:
+            note(key)
             continue
         i, rest = int(m.group(1)), m.group(2)
         lp = (f"block_{i}",)
@@ -113,4 +129,6 @@ def convert_vit_state_dict(state_dict, target_grid: int | None = None) -> Dict:
                 put(lp + ("fc2", "kernel"), np.ascontiguousarray(w.T))
             else:
                 put(lp + ("fc2", "bias"), w)
+        else:
+            note(key)
     return params

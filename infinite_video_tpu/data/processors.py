@@ -51,18 +51,24 @@ def _center_crop(frames: np.ndarray, size: int) -> np.ndarray:
 
 @dataclasses.dataclass
 class VideoProcessor:
-    """resize(min-side) → crop → (flip) → scale to [0,1] → normalize."""
+    """resize(min-side) → crop → (flip) → (RandAugment) → [0,1] → normalize.
+
+    `augment` (data/randaugment.py::RandAugment) runs on uint8 frames before
+    the float conversion, matching the reference's ToUint8 → RandomAugment
+    ordering (processors/randaugment.py)."""
 
     image_size: int = 224
     mean: Tuple = CLIP_MEAN
     std: Tuple = CLIP_STD
     random_crop: bool = False
     random_flip: bool = False
+    augment: Optional[object] = None
 
     def __call__(self, frames: np.ndarray,
                  rng: Optional[np.random.Generator] = None) -> np.ndarray:
         rng = rng or np.random.default_rng()
-        if frames.dtype == np.uint8:
+        was_uint8 = frames.dtype == np.uint8
+        if was_uint8:
             frames = frames.astype(np.float32) / 255.0
         frames = _resize(frames, self.image_size)
         if self.random_crop:
@@ -74,6 +80,10 @@ class VideoProcessor:
             frames = _center_crop(frames, self.image_size)
         if self.random_flip and rng.random() < 0.5:
             frames = frames[:, :, ::-1]
+        if self.augment is not None:
+            as_uint8 = np.clip(frames * 255.0, 0, 255).astype(np.uint8)
+            frames = self.augment(np.ascontiguousarray(as_uint8),
+                                  rng).astype(np.float32) / 255.0
         mean = np.asarray(self.mean, np.float32)
         std = np.asarray(self.std, np.float32)
         return ((frames - mean) / std).astype(np.float32)
@@ -103,7 +113,15 @@ def _register_processors():
 _register_processors()
 
 
-def train_processor(image_size: int = 224, mean=CLIP_MEAN, std=CLIP_STD) -> VideoProcessor:
-    """AlproVideoTrainProcessor (video_processor.py:118-176); RandAugment is
-    intentionally omitted (training recipes here do not enable it)."""
-    return VideoProcessor(image_size, mean, std, True, True)
+def train_processor(image_size: int = 224, mean=CLIP_MEAN, std=CLIP_STD,
+                    rand_aug: bool = False, rand_aug_n: int = 2,
+                    rand_aug_m: int = 10) -> VideoProcessor:
+    """AlproVideoTrainProcessor (video_processor.py:118-176). `rand_aug=True`
+    adds the RandAugment op set (processors/randaugment.py) — shipped but
+    unwired in the reference's own Compose, so it defaults off here too."""
+    augment = None
+    if rand_aug:
+        from infinite_video_tpu.data.randaugment import RandAugment
+
+        augment = RandAugment(n=rand_aug_n, m=rand_aug_m)
+    return VideoProcessor(image_size, mean, std, True, True, augment)

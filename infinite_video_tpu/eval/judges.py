@@ -4,8 +4,11 @@ EgoSchema server submission.
 Ports of the reference validation layer:
   - GPT-3.5 judge with six metric templates GEN/CI/DO/CU/TU/CO
     (eval_code/validate/utils.py:3-160, run_eval_qa_chatgpt.py:29-271).
-    Templates here carry the same rubric semantics; callers needing the
-    byte-identical paper prompts can pass custom `messages_fn`s.
+    The default templates are byte-identical transcriptions of the
+    reference's — including its typos ("{''score': 4.8}", double spaces) —
+    because judged scores are only comparable to the paper's protocol under
+    the exact prompt bytes. `judge_messages(..., exact=False)` selects the
+    compact paraphrased rubrics instead (documented fallback).
   - Option matching: the reference maps open-ended predictions to the nearest
     MC option via OpenAI embeddings + Chroma (run_eval_langchain.py:56-70).
     Offline default: normalized token-overlap / difflib similarity; an
@@ -25,7 +28,8 @@ import re
 from typing import Callable, Dict, List, Mapping, Optional, Sequence
 
 __all__ = ["JUDGE_METRICS", "judge_messages", "parse_judge_reply",
-            "score_predictions", "match_option", "submit_egoschema"]
+           "score_predictions", "match_option", "bow_embed",
+           "submit_egoschema"]
 
 _RUBRICS = {
     "GEN": ("correctness of generative outputs",
@@ -50,8 +54,37 @@ _RUBRICS = {
 JUDGE_METRICS = tuple(_RUBRICS)
 
 
-def judge_messages(metric: str, question: str, answer: str, pred: str) -> List[Dict]:
-    """OpenAI-style chat messages for one QA pair under one metric rubric."""
+def _exact_templates() -> Dict[str, List[str]]:
+    """Byte-identical judge prompt templates (eval_code/validate/utils.py:
+    3-160), shipped as a JSON resource: [system, user-with-placeholders] per
+    metric. Placeholders substitute via str.replace — the prompt bodies
+    contain literal braces ({'pred': 'yes', ...})."""
+    global _EXACT
+    if _EXACT is None:
+        import os
+
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "judge_templates.json")
+        with open(path, encoding="utf-8") as f:
+            _EXACT = json.load(f)
+    return _EXACT
+
+
+_EXACT = None
+
+
+def judge_messages(metric: str, question: str, answer: str, pred: str,
+                   exact: bool = True) -> List[Dict]:
+    """OpenAI-style chat messages for one QA pair under one metric rubric.
+
+    exact=True (default): the reference's prompt bytes — judged scores are
+    comparable to the paper's protocol. exact=False: compact paraphrases."""
+    if exact:
+        sys_c, usr_t = _exact_templates()[metric]
+        usr_c = (usr_t.replace("{question}", question)
+                 .replace("{answer}", answer).replace("{pred}", pred))
+        return [{"role": "system", "content": sys_c},
+                {"role": "user", "content": usr_c}]
     topic, focus, want_pred = _RUBRICS[metric]
     sys = (
         f"You are an intelligent chatbot designed for evaluating the {topic} "
@@ -135,6 +168,23 @@ def match_option(prediction: str, options: Sequence[str],
         return int(sims.argmax())
     scores = [_similarity(prediction, o) for o in options]
     return int(max(range(len(options)), key=scores.__getitem__))
+
+
+def bow_embed(texts: Sequence[str]):
+    """Reference `embed_fn` implementation: bag-of-words count vectors over
+    the batch vocabulary. Offline stand-in for the OpenAI-embedding selector
+    (run_eval_langchain.py:56-70) — semantic word overlap rather than
+    character-sequence similarity. Plug a real embedding client into
+    `match_option(embed_fn=...)` for paper-protocol matching."""
+    import numpy as np
+
+    tokens = [re.findall(r"[a-z0-9']+", t.lower()) for t in texts]
+    vocab = {w: i for i, w in enumerate(sorted({w for ts in tokens for w in ts}))}
+    out = np.zeros((len(texts), max(len(vocab), 1)), np.float32)
+    for r, ts in enumerate(tokens):
+        for w in ts:
+            out[r, vocab[w]] += 1.0
+    return out
 
 
 def submit_egoschema(predictions: Dict[str, int], url: str =

@@ -10,6 +10,8 @@ Ports of infty-VideoChat2/models/criterions.py:15-446 in functional JAX:
   - `vtm_hard_negative_indices` + `vtm_loss`: matching with similarity-
     weighted hard negative mining (criterions.py:103-180)
   - `mlm_loss`: masked-LM cross entropy over the Q-former text stream
+  - `mac_loss` family: mask-align-clip distillation between student and
+    CLIP-teacher representations (criterions.py:337-446)
 
 All losses are pure functions usable inside jit; sampling of hard negatives
 takes an explicit PRNG key.
@@ -24,7 +26,8 @@ import jax.numpy as jnp
 import optax
 
 __all__ = ["get_sim", "vtc_loss", "vtm_hard_negative_indices", "vtm_loss",
-           "mlm_loss", "mask_tokens", "cap_loss"]
+           "mlm_loss", "mask_tokens", "cap_loss", "mac_loss",
+           "mac_vision_loss", "mac_all_loss"]
 
 
 def _normalize(x, axis=-1):
@@ -153,3 +156,64 @@ def cap_loss(logits, text_labels) -> jnp.ndarray:
     shift_logits = logits[:, :-1]
     shift_labels = text_labels[:, 1:]
     return mlm_loss(shift_logits, shift_labels)
+
+
+# --------------------------------------------------------------------------
+# MAC (mask align clip) distillation — criterions.py:337-446. Student
+# features are aligned to a frozen CLIP teacher; 'l2' loss on normalized
+# vectors is 2-2·cosine, 'mse'/'smooth_l1' are elementwise regressions.
+
+
+def _mac_elementwise(student, teacher, loss_type: str):
+    if loss_type == "l2":
+        return (2.0 - 2.0 * (student * teacher).sum(-1)).mean()
+    if loss_type == "mse":
+        return jnp.square(student - teacher).mean()
+    if loss_type == "smooth_l1":
+        d = jnp.abs(student - teacher)
+        return jnp.where(d < 1.0, 0.5 * d * d, d - 0.5).mean()
+    raise NotImplementedError(loss_type)
+
+
+def _mac_norm(x, norm_type: str):
+    if norm_type == "l2":
+        return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+    if norm_type == "none":
+        return x
+    raise NotImplementedError(norm_type)
+
+
+def mac_loss(student_output, clip_output, norm_type: str = "l2",
+             loss_type: str = "l2") -> jnp.ndarray:
+    """Token-level distillation, shapes [K, B, N, C] (criterions.py:352-377)."""
+    return _mac_elementwise(_mac_norm(student_output, norm_type),
+                            _mac_norm(clip_output, norm_type), loss_type)
+
+
+def _mac_align_time(student_v, clip_v):
+    # unequal temporal lengths collapse to clip-level means (criterions.py:389)
+    if student_v.shape[1] != clip_v.shape[1]:
+        student_v = student_v.mean(1, keepdims=True)
+        clip_v = clip_v.mean(1, keepdims=True)
+    return student_v, clip_v
+
+
+def mac_vision_loss(student_v_output, clip_v_output, norm_type: str = "l2",
+                    loss_type: str = "l2") -> jnp.ndarray:
+    """Vision-only distillation, shapes [B, T, C] (criterions.py:379-407)."""
+    s, c = _mac_align_time(student_v_output, clip_v_output)
+    return _mac_elementwise(_mac_norm(s, norm_type), _mac_norm(c, norm_type),
+                            loss_type)
+
+
+def mac_all_loss(student_v_output, clip_v_output, student_t_output,
+                 clip_t_output, norm_type: str = "l2",
+                 loss_type: str = "l2") -> jnp.ndarray:
+    """Joint vision+text distillation, mean of the two terms
+    (criterions.py:409-446)."""
+    s_v, c_v = _mac_align_time(student_v_output, clip_v_output)
+    loss_v = _mac_elementwise(_mac_norm(s_v, norm_type),
+                              _mac_norm(c_v, norm_type), loss_type)
+    loss_t = _mac_elementwise(_mac_norm(student_t_output, norm_type),
+                              _mac_norm(clip_t_output, norm_type), loss_type)
+    return (loss_v + loss_t) / 2.0

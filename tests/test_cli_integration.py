@@ -94,3 +94,79 @@ datasets:
                     "--output-dir", out_dir, "--tiny"])
     ckpts = [d for d in os.listdir(out_dir) if d.startswith("ckpt_")]
     assert ckpts, "no checkpoint written by the training run"
+
+
+def test_train_cli_named_corpora_tiny(tmp_path):
+    """Stage-3 config referencing two *registry* corpora by name
+    (data/corpora.py — the configs/instruction_data.py table) trains in
+    --tiny mode: names -> resolved anno/data paths -> MetaLoader -> step."""
+    cv2 = pytest.importorskip("cv2")
+
+    def write_clip(path):
+        path.parent.mkdir(parents=True, exist_ok=True)
+        w = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"MJPG"), 5,
+                            (224, 224))
+        for i in range(4):
+            w.write(np.full((224, 224, 3), 40 + i, np.uint8))
+        w.release()
+
+    data = tmp_path / "data"
+    write_clip(data / "nextqa" / "v0.avi")
+    write_clip(data / "WebVid2M" / "v1.avi")
+
+    def write_anno(rel, video):
+        p = tmp_path / "anno_it" / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(json.dumps(
+            [{"video": video,
+              "qa": [{"i": "watch", "q": "what?", "a": "a thing"}]}]))
+
+    write_anno("video/reasoning/next_qa/train.json", "v0.avi")
+    write_anno("video/vqa/webvid_qa/train.json", "v1.avi")
+
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(f"""
+seed: 3
+max_epochs: 1
+model:
+  num_frames: 2
+optimizer: {{lr: 1.0e-4}}
+scheduler: {{warmup_steps: 1, total_steps: 4}}
+corpora:
+  names: [reasoning_next_qa, vqa_webvid_qa]
+  anno_root: {tmp_path}
+  data_root: {data}
+  batch_size: 1
+""")
+    from infinite_video_tpu.cli import train as train_cli
+
+    out_dir = str(tmp_path / "run")
+    train_cli.main(["--config", str(cfg), "--stage", "it",
+                    "--output-dir", out_dir, "--tiny"])
+    ckpts = [d for d in os.listdir(out_dir) if d.startswith("ckpt_")]
+    assert ckpts, "no checkpoint written by the named-corpora training run"
+
+
+def test_corpus_registry_tables():
+    from infinite_video_tpu.data.corpora import (INSTRUCTION_CORPORA, MIXES,
+                                                 PRETRAIN_CORPORA,
+                                                 resolve_corpus)
+
+    # the reference tables: 8 pretrain + msrvtt + 5 LAVIS-side caption
+    # builders; 56 instruction entries (+ llava_instruct/webvid_instruct)
+    assert len(PRETRAIN_CORPORA) >= 12
+    assert len(INSTRUCTION_CORPORA) >= 58
+    assert set(MIXES) >= {"videochat2_instruction",
+                          "videochat2_instruction_new",
+                          "videochat2_instruction_hd",
+                          "webvid10m_cc14m_plus"}
+    assert len(MIXES["videochat2_instruction_hd"]) == 51
+
+    got = resolve_corpus("reasoning_next_qa", "/anno", "/data")
+    assert got[0].anno_file == "/anno/anno_it/video/reasoning/next_qa/train.json"
+    assert got[0].data_root == "/data/nextqa"
+    mix = resolve_corpus("webvid10m_cc3m", "/anno", "/data")
+    assert [c.name for c in mix] == ["webvid_10m", "cc3m"]
+
+    with pytest.raises(KeyError):
+        resolve_corpus("nonexistent_corpus")

@@ -1,6 +1,8 @@
 """Data-layer tests: sampling, processors, MetaLoader/sampler semantics,
 native prefetcher."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -139,3 +141,101 @@ def test_prefetcher_missing_file_raises(tmp_path):
         assert pf.get(0) == b"x" * 10
         with pytest.raises((IOError, OSError)):
             pf.get(1)
+
+
+def _load_reference_randaug():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_ref_randaug",
+        "/root/reference/infty-Video-LLaMA/InfVideoLLaMA/processors/randaugment.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference"),
+                    reason="reference repo unavailable")
+def test_randaugment_ops_match_reference():
+    """Deterministic (sign-free) ops must match the reference pixel-exactly;
+    signed geometric ops match when the drawn sign agrees."""
+    from infinite_video_tpu.data import randaugment as ra
+
+    ref = _load_reference_randaug()
+    img = np.random.default_rng(0).integers(0, 256, (32, 40, 3), np.uint8)
+    level = 7
+
+    cases = {
+        "AutoContrast": (ref.autocontrast_func(img), ra.AUG_OPS["AutoContrast"]),
+        "Equalize": (ref.equalize_func(img), ra.AUG_OPS["Equalize"]),
+        "Solarize": (ref.solarize_func(img, int(level / 10 * 256)),
+                     ra.AUG_OPS["Solarize"]),
+        # ref posterize_func overflows under numpy>=2 (np.uint8(255<<6));
+        # compare against its intended bitmask directly
+        "Posterize": (img & np.uint8((255 << (8 - int(level / 10 * 4))) & 255),
+                      ra.AUG_OPS["Posterize"]),
+        "Brightness": (ref.brightness_func(img, level / 10 * 1.8 + 0.1),
+                       ra.AUG_OPS["Brightness"]),
+        "Contrast": (ref.contrast_func(img, level / 10 * 1.8 + 0.1),
+                     ra.AUG_OPS["Contrast"]),
+    }
+    # ref sharpness_func casts without clipping and wraps around on uint8
+    # overflow (randaugment.py:146); compare against its clipped formula
+    import cv2
+
+    f = level / 10 * 1.8 + 0.1
+    kern = np.full((3, 3), 1.0, np.float32)
+    kern[1, 1] = 5.0
+    kern /= 13.0
+    deg = cv2.filter2D(img, -1, kern).astype(np.float32)
+    want_sharp = img.astype(np.float32).copy()
+    want_sharp[1:-1, 1:-1] = deg[1:-1, 1:-1] + f * (want_sharp[1:-1, 1:-1]
+                                                    - deg[1:-1, 1:-1])
+    cases["Sharpness"] = (np.clip(want_sharp, 0, 255).astype(np.uint8),
+                          ra.AUG_OPS["Sharpness"])
+    rng = np.random.default_rng(1)
+    for name, (want, fn) in cases.items():
+        got = fn(img, level, rng)
+        # uint8 LUT rounding may differ by 1 at the clip boundary
+        diff = np.abs(got.astype(int) - want.astype(int))
+        assert diff.max() <= 1, f"{name}: max diff {diff.max()}"
+
+    # Color: reference matmul computes BGR-weighted luma (cv2 channel order);
+    # ours is a luma blend — both are PIL-equivalent up to channel convention,
+    # so compare against the reference formula with matching weights.
+    gray = img.astype(np.float32) @ np.asarray([0.299, 0.587, 0.114], np.float32)
+    want_color = np.clip(gray[..., None] + f * (img - gray[..., None]), 0, 255)
+    got_color = ra.AUG_OPS["Color"](img, level, rng)
+    assert np.abs(got_color.astype(int) - want_color.astype(int)).max() <= 1
+
+    # signed geometric op: force the positive branch in both
+    class _PosRng:
+        def random(self):
+            return 0.6  # ref: np.random.random() > 0.5 -> keep positive sign
+
+    fill = (128, 128, 128)  # arg_dict passes replace_value, not the default
+    want_rot = ref.rotate_func(img, -(level / 10 * 30), fill=fill)
+    got_rot = ra.AUG_OPS["Rotate"](img, level, np.random.default_rng(2))
+    # compare against whichever sign our rng drew
+    alt_rot = ref.rotate_func(img, level / 10 * 30, fill=fill)
+    assert (np.array_equal(got_rot, want_rot)
+            or np.array_equal(got_rot, alt_rot))
+
+
+def test_randaugment_clip_consistency_and_processor_hook():
+    from infinite_video_tpu.data.processors import train_processor
+    from infinite_video_tpu.data.randaugment import RandAugment
+
+    frames = np.random.default_rng(3).integers(0, 256, (3, 48, 48, 3), np.uint8)
+    aug = RandAugment(n=2, m=5, augs=["Brightness", "Solarize"])
+    out = aug(frames, np.random.default_rng(4))
+    assert out.shape == frames.shape and out.dtype == np.uint8
+    # temporally consistent: identical input frames stay identical after aug
+    same = np.repeat(frames[:1], 3, axis=0)
+    out_same = aug(same, np.random.default_rng(5))
+    assert np.array_equal(out_same[0], out_same[1])
+    assert np.array_equal(out_same[1], out_same[2])
+
+    proc = train_processor(image_size=32, rand_aug=True)
+    res = proc(frames, np.random.default_rng(6))
+    assert res.shape == (3, 32, 32, 3) and res.dtype == np.float32

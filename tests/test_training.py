@@ -95,3 +95,62 @@ def test_optimizer_freezing_and_lr_groups():
     updates, _ = tx.update(grads, state, params)
     assert float(jnp.abs(updates["frozen_ln"]["weight"]).sum()) == 0.0
     assert float(jnp.abs(updates["qformer"]["kernel"]).sum()) > 0.0
+
+
+def _load_reference_mac():
+    """Import the reference MAC_Loss with its distributed deps stubbed."""
+    import importlib.util
+    import sys
+    import types
+
+    for name, attrs in [
+        ("models", {"__path__": []}),
+        ("models.utils", {"allgather_wgrad": lambda x, *a: x}),
+        ("utils", {"__path__": []}),
+        ("utils.distributed", {"get_rank": lambda: 0,
+                               "get_world_size": lambda: 1}),
+        ("utils.easydict", {"EasyDict": dict}),
+    ]:
+        m = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        sys.modules.setdefault(name, m)
+    spec = importlib.util.spec_from_file_location(
+        "_ref_criterions",
+        "/root/reference/infty-VideoChat2/models/criterions.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.skipif(not __import__("os").path.isdir("/root/reference"),
+                    reason="reference repo unavailable")
+@pytest.mark.parametrize("loss_type", ["l2", "mse", "smooth_l1"])
+def test_mac_losses_match_reference(loss_type):
+    import torch
+
+    mod = _load_reference_mac()
+    ref = mod.MAC_Loss(mac_norm_type="l2", mac_loss_type=loss_type)
+    rng = np.random.default_rng(0)
+    s = rng.normal(size=(2, 3, 4, 8)).astype(np.float32)
+    t = rng.normal(size=(2, 3, 4, 8)).astype(np.float32)
+    sv = rng.normal(size=(3, 5, 8)).astype(np.float32)
+    tv = rng.normal(size=(3, 2, 8)).astype(np.float32)  # unequal T -> mean
+    st = rng.normal(size=(3, 1, 8)).astype(np.float32)
+    tt = rng.normal(size=(3, 1, 8)).astype(np.float32)
+
+    with torch.no_grad():
+        want = float(ref.mac_loss(torch.tensor(s), torch.tensor(t)))
+        want_v = float(ref.mac_vision_loss(torch.tensor(sv), torch.tensor(tv)))
+        want_all = float(ref.mac_all_loss(torch.tensor(sv), torch.tensor(tv),
+                                          torch.tensor(st), torch.tensor(tt)))
+    got = float(criterions.mac_loss(jnp.asarray(s), jnp.asarray(t),
+                                    loss_type=loss_type))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    got_v = float(criterions.mac_vision_loss(jnp.asarray(sv), jnp.asarray(tv),
+                                             loss_type=loss_type))
+    np.testing.assert_allclose(got_v, want_v, rtol=1e-5)
+    got_all = float(criterions.mac_all_loss(
+        jnp.asarray(sv), jnp.asarray(tv), jnp.asarray(st), jnp.asarray(tt),
+        loss_type=loss_type))
+    np.testing.assert_allclose(got_all, want_all, rtol=1e-5)

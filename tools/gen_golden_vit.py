@@ -21,10 +21,19 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
 
 
 def _stub_modules():
-    timm = types.ModuleType("timm")
-    models = types.ModuleType("timm.models")
-    layers = types.ModuleType("timm.models.layers")
-    registry = types.ModuleType("timm.models.registry")
+    from importlib.machinery import ModuleSpec
+
+    def _mod(name):
+        m = types.ModuleType(name)
+        # a real spec keeps importlib.util.find_spec(name) working for code
+        # (e.g. transformers.utils.import_utils) that probes sys.modules later
+        m.__spec__ = ModuleSpec(name, loader=None)
+        return m
+
+    timm = _mod("timm")
+    models = _mod("timm.models")
+    layers = _mod("timm.models.layers")
+    registry = _mod("timm.models.registry")
 
     def drop_path(x, drop_prob=0.0, training=False):
         return x
@@ -41,15 +50,15 @@ def _stub_modules():
                       ("timm.models.registry", registry)]:
         sys.modules.setdefault(name, mod)
 
-    dist_utils = types.ModuleType("InfVideoLLaMA.common.dist_utils")
+    dist_utils = _mod("InfVideoLLaMA.common.dist_utils")
     dist_utils.download_cached_file = lambda *a, **k: None
     for name in ("InfVideoLLaMA", "InfVideoLLaMA.common", "InfVideoLLaMA.models"):
-        m = types.ModuleType(name)
+        m = _mod(name)
         m.__path__ = []
         sys.modules.setdefault(name, m)
     sys.modules["InfVideoLLaMA.common.dist_utils"] = dist_utils
 
-    easydict = types.ModuleType("easydict")
+    easydict = _mod("easydict")
 
     class EasyDict(dict):
         __getattr__ = dict.__getitem__
