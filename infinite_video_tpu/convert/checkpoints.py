@@ -37,8 +37,8 @@ from infinite_video_tpu.convert.vit import convert_vit_state_dict
 
 __all__ = ["load_torch_state_dict", "split_reference_checkpoint",
            "deep_merge", "assemble_infvideollama_params",
-           "assemble_videochat2_params", "save_train_state",
-           "restore_train_state"]
+           "assemble_videochat2_params", "assemble_videochat2_qformer_params",
+           "save_train_state", "restore_train_state"]
 
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
@@ -248,6 +248,70 @@ def assemble_videochat2_params(
         decoder_params = convert_decoder_state_dict(dec_sd, unconsumed=lost)
         _report_unconsumed(report, decoder_path, lost)
     return params, decoder_params
+
+
+def assemble_videochat2_qformer_params(
+    init_params: Dict,
+    checkpoint_path: str,
+    report: Optional[Dict] = None,
+) -> Dict:
+    """Stage-1 Q-former pretrain checkpoint → VideoChat2QFormerPretrain tree.
+
+    Accepts the reference stage-1 layout (videochat2_qformer.py:39-64:
+    vision_encoder.*, qformer.* incl. cls head, query_tokens, vision_proj,
+    text_proj, itm_head, temp) — the xbert-shaped stage-1 weights load here,
+    with the MLM cls head routed to our `lm_head`."""
+    from infinite_video_tpu.convert.qformer import convert_lm_head_state_dict
+
+    sd = load_torch_state_dict(checkpoint_path)
+    # scalars (temp) are dropped by load_torch_state_dict's shape filter
+    import torch
+
+    raw = torch.load(checkpoint_path, map_location="cpu", weights_only=False)
+    if isinstance(raw, dict):
+        for wrap in ("model", "module"):
+            if wrap in raw and isinstance(raw[wrap], dict):
+                raw = raw[wrap]
+        if "temp" in raw and hasattr(raw["temp"], "numpy"):
+            sd["temp"] = raw["temp"].detach().float().numpy()
+
+    comps: Dict[str, Dict] = {"vision_encoder": {}, "qformer": {},
+                              "vision_proj": {}, "text_proj": {},
+                              "itm_head": {}, "other": {}}
+    upd: Dict = {}
+    for k, v in sd.items():
+        if k.startswith(("vision_encoder.", "visual_encoder.")):
+            comps["vision_encoder"][k.split(".", 1)[1]] = v
+        elif k.startswith(("qformer.", "Qformer.", "text_encoder.")):
+            comps["qformer"][k.split(".", 1)[1]] = v
+        elif k == "query_tokens":
+            upd["query_tokens"] = np.asarray(v, np.float32)
+        elif k == "temp":
+            upd["temp"] = np.asarray(v, np.float32).reshape(())
+        elif k.startswith(("vision_proj.", "text_proj.", "itm_head.")):
+            comps[k.split(".", 1)[0]][k.split(".", 1)[1]] = v
+        else:
+            comps["other"][k] = v
+
+    lost: List[str] = list(comps["other"])
+    if comps["vision_encoder"]:
+        sub: List[str] = []
+        upd["vision_encoder"] = convert_vit_state_dict(
+            comps["vision_encoder"], unconsumed=sub)
+        lost.extend("vision_encoder." + k for k in sub)
+    if comps["qformer"]:
+        sub = []
+        upd["qformer"] = convert_qformer_state_dict(comps["qformer"],
+                                                    unconsumed=sub)
+        lost.extend("qformer." + k for k in sub)
+        head = convert_lm_head_state_dict(comps["qformer"])
+        if head:
+            upd["lm_head"] = head
+    for name in ("vision_proj", "text_proj", "itm_head"):
+        if comps[name]:
+            _dense(comps[name], upd, name)
+    _report_unconsumed(report, checkpoint_path, lost)
+    return deep_merge(init_params, upd)
 
 
 # --------------------------------------------------------------------------

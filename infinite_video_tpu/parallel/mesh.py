@@ -24,18 +24,52 @@ __all__ = ["make_mesh", "data_sharding", "replicated", "P"]
 
 
 def make_mesh(dp: Optional[int] = None, tp: int = 1,
-              devices: Optional[Sequence] = None) -> Mesh:
-    """Build a ("dp", "tp") mesh. dp defaults to n_devices // tp.
+              devices: Optional[Sequence] = None,
+              dcn_dp: Optional[int] = None) -> Mesh:
+    """Build a ("dp", "tp") mesh — or ("dcn", "dp", "tp") across slices.
 
-    For multi-host, callers run `jax.distributed.initialize()` first; the
-    mesh spans all global devices and XLA routes collectives over ICI/DCN.
+    Placement is ICI-topology-aware: on real TPU topologies the device grid
+    comes from `mesh_utils.create_device_mesh`, so the tp axis lands on
+    physically adjacent chips (matmul collectives ride ICI) and dp spans the
+    rest. `dcn_dp` adds a leading data-parallel axis across slices/hosts via
+    `create_hybrid_device_mesh` — gradients all-reduce over DCN only on that
+    axis. For multi-host, callers run `jax.distributed.initialize()` first.
+    Falls back to a reshape for explicit device lists and host-emulated
+    platforms (no physical topology to optimise).
     """
+    explicit = devices is not None
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    if dcn_dp:
+        from jax.experimental import mesh_utils
+
+        per_slice = n // dcn_dp
+        if dp is None:
+            dp = per_slice // tp
+        if dcn_dp * dp * tp != n:
+            raise ValueError(f"mesh {dcn_dp}x{dp}x{tp} != {n} devices")
+        if hasattr(devices[0], "slice_index"):
+            arr = mesh_utils.create_hybrid_device_mesh(
+                (dp, tp), (dcn_dp, 1), devices=devices)
+            # hybrid mesh is (dcn*dp, tp); lift the dcn axis out front
+            arr = np.asarray(arr).reshape(dcn_dp, dp, tp)
+        else:
+            # host-emulated devices carry no slice topology; contiguous
+            # blocks per dcn row preserve the intended locality
+            arr = np.array(devices).reshape(dcn_dp, dp, tp)
+        return Mesh(arr, axis_names=("dcn", "dp", "tp"))
     if dp is None:
         dp = n // tp
     if dp * tp != n:
         raise ValueError(f"mesh {dp}x{tp} != {n} devices")
+    if not explicit and devices and devices[0].platform == "tpu":
+        from jax.experimental import mesh_utils
+
+        try:
+            arr = mesh_utils.create_device_mesh((dp, tp), devices=devices)
+            return Mesh(arr, axis_names=("dp", "tp"))
+        except (ValueError, AssertionError):
+            pass  # odd topologies (e.g. v5e-1) — plain reshape below
     arr = np.array(devices).reshape(dp, tp)
     return Mesh(arr, axis_names=("dp", "tp"))
 

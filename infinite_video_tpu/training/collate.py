@@ -16,7 +16,7 @@ import numpy as np
 
 from infinite_video_tpu.data.datasets import tokenize_conversation
 
-__all__ = ["collate_it_batch", "VIDEO_PLACEHOLDER"]
+__all__ = ["collate_it_batch", "collate_pt_batch", "VIDEO_PLACEHOLDER"]
 
 VIDEO_PLACEHOLDER = "<Video></Video>"
 
@@ -81,3 +81,53 @@ def collate_it_batch(
         "post_ids": post,
         "labels": labels,
     }
+
+
+def collate_pt_batch(
+    samples: Sequence[Tuple],
+    tokenizer,
+    num_query_tokens: int,
+    prompt: str = VIDEO_PLACEHOLDER,
+    end_sym: str = "</s>",
+    max_len: int = 512,
+    pad_token_id: int = 0,
+) -> Dict[str, np.ndarray]:
+    """Stage-2 vision-text pretraining batch (videochat2_pt_mistral.py:211-257):
+    [BOS + prompt-before-video] [video query tokens] [prompt-after-video +
+    caption + end_sym], loss on the caption span only (prompt and padding are
+    -100; the reference masks everything up to and including the wrapped
+    prompt, :241-245).
+
+    samples: [(frames [T,H,W,3], caption), ...] — CaptionDataset output.
+    """
+    if VIDEO_PLACEHOLDER in prompt:
+        pre_text, post_prompt = prompt.split(VIDEO_PLACEHOLDER, 1)
+    else:
+        pre_text, post_prompt = "", prompt
+    bos = getattr(tokenizer, "bos_token_id", 1)
+
+    pixels, pre_rows, post_rows, label_rows = [], [], [], []
+    for frames, caption in samples:
+        pixels.append(frames)
+        pre_ids = [bos] + list(
+            tokenizer(pre_text, add_special_tokens=False)["input_ids"])
+        suffix_ids = list(
+            tokenizer(post_prompt, add_special_tokens=False)["input_ids"])
+        cap_ids = list(tokenizer(caption + end_sym,
+                                 add_special_tokens=False)["input_ids"])
+        cap_ids = cap_ids[: max_len]
+        pre_rows.append(np.asarray(pre_ids, np.int64))
+        post_rows.append(np.asarray(suffix_ids + cap_ids, np.int64))
+        label_rows.append(np.asarray([-100] * len(suffix_ids) + cap_ids,
+                                     np.int64))
+
+    pre = _pad_rows(pre_rows, pad_token_id)
+    post = _pad_rows(post_rows, pad_token_id)
+    post_labels = _pad_rows(label_rows, -100)
+    b = len(samples)
+    labels = np.concatenate([
+        np.full((b, pre.shape[1] + num_query_tokens), -100, np.int64),
+        post_labels,
+    ], axis=1)
+    return {"pixels": np.stack(pixels), "pre_ids": pre, "post_ids": post,
+            "labels": labels}

