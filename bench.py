@@ -249,6 +249,55 @@ def _attention_ms(use_flash: bool, s: int = 2048, h: int = 32, d: int = 128,
     return 1000.0 / fps
 
 
+def _decode_tok_s(batch: int = 1, prefill: int = 128, n_steps: int = 128) -> float:
+    """Steady-state autoregressive decode throughput of the int8 7B Mistral
+    decoder (models/quantized.py serving path; modeling_llama_mem.py intent).
+    Weight-only int8 keeps the 7B resident in a single v5e's HBM; weights are
+    zeros (throughput is weight-streaming-bound, values are irrelevant) and
+    the prefill embeddings are seed-fresh so the relay cannot replay."""
+    import dataclasses
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from infinite_video_tpu.models.decoder import (Decoder, init_kv_cache,
+                                                   mistral7b_config)
+
+    cfg = dataclasses.replace(mistral7b_config(), quantized=True)
+    model = Decoder(cfg)
+    max_len = prefill + n_steps + 1
+    params = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           input_ids=jnp.zeros((1, 1), jnp.int32))["params"])()
+
+    @partial(jax.jit, static_argnames="n")
+    def stream(seed, n):
+        emb = jax.random.normal(jax.random.PRNGKey(seed),
+                                (batch, prefill, cfg.hidden_size),
+                                jnp.bfloat16)
+        mask = jnp.zeros((batch, max_len)).at[:, :prefill].set(1.0)
+        cache = init_kv_cache(cfg, batch, max_len)
+        logits, cache = model.apply({"params": params}, inputs_embeds=emb,
+                                    attention_mask=mask, cache=cache)
+        tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+
+        def step(carry, t):
+            tok, cache, mask = carry
+            mask = mask.at[:, prefill + t].set(1.0)
+            logits, cache = model.apply({"params": params},
+                                        input_ids=tok[:, None],
+                                        attention_mask=mask, cache=cache)
+            tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            return (tok, cache, mask), logits[:, -1, 0]
+
+        (_, _, _), outs = jax.lax.scan(step, (tok, cache, mask),
+                                       jnp.arange(n))
+        return outs.sum()
+
+    return _chain_fps(stream, batch, n_steps, trials=2)
+
+
 def main():
     extra = {}
 
@@ -277,6 +326,11 @@ def main():
                 _attention_ms(False, n_chain=256), 4)
         except Exception as e:
             extra["flash_attention_error"] = f"{type(e).__name__}: {e}"[:200]
+        try:
+            extra["decode_tok_s_int8_7b_b1"] = round(_decode_tok_s(batch=1), 2)
+            extra["decode_tok_s_int8_7b_b8"] = round(_decode_tok_s(batch=8), 2)
+        except Exception as e:
+            extra["decode_error"] = f"{type(e).__name__}: {e}"[:200]
 
     vs = (fps / base) if base else None
     print(json.dumps({

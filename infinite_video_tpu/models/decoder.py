@@ -192,29 +192,36 @@ class DecoderLayer(nn.Module):
                 cache_k, k.astype(cache_k.dtype), (0, cache_pos, 0, 0))
             cache_v = jax.lax.dynamic_update_slice(
                 cache_v, v.astype(cache_v.dtype), (0, cache_pos, 0, 0))
-            k_all, v_all = cache_k, cache_v
+            if mask_bias is None:
+                # flash prefill on a FRESH cache: there are no valid entries
+                # before cache_pos, so attention reduces to causal
+                # self-attention over the in-flight tokens — the flash kernel
+                # applies and the (max_len-wide) buffer is never scanned.
+                k_att, v_att = k, v
+            else:
+                k_att, v_att = cache_k, cache_v
         else:
-            k_all, v_all = k, v
+            k_att, v_att = k, v
 
         # GQA: repeat kv heads to match query heads.
         if kv != h:
             rep = h // kv
-            k_all = jnp.repeat(k_all, rep, axis=2)
-            v_all = jnp.repeat(v_all, rep, axis=2)
+            k_att = jnp.repeat(k_att, rep, axis=2)
+            v_att = jnp.repeat(v_att, rep, axis=2)
 
         if mask_bias is None:
-            # full-sequence causal path via the Pallas flash kernel
+            # causal path via the Pallas flash kernel
             from infinite_video_tpu.ops.pallas.flash_attention import flash_attention
 
-            ctx = flash_attention(q, k_all, v_all, causal=True,
+            ctx = flash_attention(q, k_att, v_att, causal=True,
                                   interpret=cfg.flash_interpret)
-            ctx = ctx.astype(v_all.dtype).reshape(b, s, h * hd)
+            ctx = ctx.astype(v_att.dtype).reshape(b, s, h * hd)
         else:
             scores = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
-                                k_all.astype(jnp.float32)) / (hd ** 0.5)
+                                k_att.astype(jnp.float32)) / (hd ** 0.5)
             scores = scores + mask_bias
             probs = jax.nn.softmax(scores, axis=-1)
-            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v_all.dtype), v_all)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v_att.dtype), v_att)
             ctx = ctx.reshape(b, s, h * hd)
         attn_out = dense(cfg.hidden_size, name="o_proj")(ctx.astype(cfg.dtype))
         x = res + attn_out
@@ -273,8 +280,12 @@ class Decoder(nn.Module):
         if position_offset is not None:
             rope_positions = jnp.maximum(
                 positions[None, :] - position_offset[:, None], 0)
-        if (cfg.use_flash and cache is None and attention_mask is None
-                and cfg.sliding_window is None):
+        # Flash applies to full-sequence forwards AND to multi-token prefill
+        # on a fresh cache (attention_mask=None is the caller's assertion
+        # that no earlier cache entries exist and no padding needs masking —
+        # runtime/generation.py passes it for unpadded prompts).
+        if (cfg.use_flash and attention_mask is None and s > 1
+                and position_offset is None and cfg.sliding_window is None):
             bias = None  # causal handled inside the flash kernel
         else:
             # allowed(q, k) = causal, intersected with the sliding window.

@@ -116,6 +116,10 @@ def generate(
 
     cache = init_kv_cache(dcfg, b, max_len)
     buffer_mask = jnp.zeros((b, max_len))
+    # Unpadded prompts + use_flash: prefill without a mask so the decoder's
+    # flash-prefill path applies (causal over in-flight tokens on the fresh
+    # cache; the unwritten buffer tail is already excluded by causality).
+    flash_prefill = prompt_mask is None and dcfg.use_flash and s > 1
     if prompt_mask is None:
         prompt_mask = jnp.ones((b, s))
     buffer_mask = jax.lax.dynamic_update_slice(buffer_mask,
@@ -124,9 +128,10 @@ def generate(
     # at the same cache slot (prompts of different lengths batch together).
     pad_offset = (1.0 - prompt_mask.astype(jnp.float32)).sum(axis=1).astype(jnp.int32)
 
-    logits, cache = model.apply({"params": params}, inputs_embeds=prompt_embeds,
-                                attention_mask=buffer_mask, cache=cache,
-                                position_offset=pad_offset)
+    logits, cache = model.apply(
+        {"params": params}, inputs_embeds=prompt_embeds,
+        attention_mask=None if flash_prefill else buffer_mask, cache=cache,
+        position_offset=None if flash_prefill else pad_offset)
     rng, sub = jax.random.split(rng)
     first = _next_token(sub, logits[:, -1], cfg, gen_index=0)
 

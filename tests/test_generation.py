@@ -172,3 +172,34 @@ def test_repetition_penalty_ignores_pad_buffer():
     assert pen[0] == base[0]
     if base[1] != base[0]:
         assert pen[1] == base[1]
+
+
+def test_flash_prefill_generation_matches_einsum_path():
+    """use_flash decoders take the flash-prefill path on unpadded prompts
+    (interpret mode on CPU); greedy outputs must match the masked-einsum
+    path token-for-token."""
+    import dataclasses
+
+    _, model, params = _tiny_pair(seed=9)
+    flash_cfg = dataclasses.replace(model.cfg, use_flash=True,
+                                    flash_interpret=True)
+    from infinite_video_tpu.models.decoder import Decoder
+
+    flash_model = Decoder(flash_cfg)
+    ids = np.random.default_rng(9).integers(3, 96, (2, 7))
+    cfg_g = GenerationConfig(max_new_tokens=6, eos_token_id=-1, pad_token_id=0)
+    base = np.asarray(generate(model, params, cfg_g, prompt_ids=jnp.asarray(ids)))
+    flash = np.asarray(generate(flash_model, params, cfg_g,
+                                prompt_ids=jnp.asarray(ids)))
+    np.testing.assert_array_equal(flash, base)
+
+    # left-padded prompts keep the masked path (flash prefill needs no mask)
+    emb = model.apply({"params": params}, input_ids=jnp.asarray(ids),
+                      embed_only=True)
+    mask = np.ones((2, 7), np.float32)
+    mask[0, :2] = 0.0
+    out = np.asarray(generate(flash_model, params, cfg_g, prompt_embeds=emb,
+                              prompt_mask=jnp.asarray(mask)))
+    ref = np.asarray(generate(model, params, cfg_g, prompt_embeds=emb,
+                              prompt_mask=jnp.asarray(mask)))
+    np.testing.assert_array_equal(out, ref)
