@@ -19,7 +19,7 @@ import argparse
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", required=True)
-    p.add_argument("--stage", choices=["qformer", "it"], default="it")
+    p.add_argument("--stage", choices=["qformer", "pt", "it"], default="it")
     p.add_argument("--output-dir", required=True)
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--zero", action="store_true",
@@ -52,7 +52,9 @@ def main(argv=None):
     cfg = load_config(args.config, args.overrides)
     mesh = make_mesh(tp=args.tp)
 
-    if args.stage == "it":
+    if args.stage in ("it", "pt"):
+        # pt = stage-2 vision-text pretraining (train_pt.py): caption corpora
+        # with caption-only labels (collate_pt_batch); same sharded step.
         from infinite_video_tpu.models import videochat2 as vc2
         from infinite_video_tpu.models.decoder import Decoder
 
@@ -107,7 +109,8 @@ def main(argv=None):
             def make_loader(epoch, skip):
                 from infinite_video_tpu.data.loader import MetaLoader
 
-                loaders = _build_it_loaders(cfg, mcfg, epoch, tiny=args.tiny)
+                loaders = _build_it_loaders(cfg, mcfg, epoch, tiny=args.tiny,
+                                            stage=args.stage)
                 return MetaLoader(loaders, seed=cfg.get("seed", 42) + epoch,
                                   skip_num=skip)
 
@@ -121,14 +124,16 @@ def main(argv=None):
                          "directly (see tests/test_stage1_and_retrieval.py)")
 
 
-def _build_it_loaders(cfg, mcfg, epoch, tiny=False):
+def _build_it_loaders(cfg, mcfg, epoch, tiny=False, stage="it"):
     """Named batch loaders from cfg.datasets entries (ann/data_root/batch) or
     registry corpus names (cfg.corpora — configs/{data,instruction_data}.py
-    equivalents); each yields collated train-step dicts (training/collate.py)."""
-    from infinite_video_tpu.data.datasets import InstructionDataset
+    equivalents); each yields collated train-step dicts (training/collate.py).
+    stage="pt" reads caption annotations and collates caption-only labels."""
+    from infinite_video_tpu.data.datasets import CaptionDataset, InstructionDataset
     from infinite_video_tpu.data.loader import StatefulShardSampler
     from infinite_video_tpu.data.processors import train_processor
-    from infinite_video_tpu.training.collate import collate_it_batch
+    from infinite_video_tpu.training.collate import (collate_it_batch,
+                                                     collate_pt_batch)
 
     if tiny:
         from infinite_video_tpu.utils.testing import ToyTokenizer
@@ -155,16 +160,30 @@ def _build_it_loaders(cfg, mcfg, epoch, tiny=False):
             seed=epoch)
     loaders = {}
     for name, dcfg in cfg.get("datasets", {}).items():
-        ds = InstructionDataset(dcfg["ann_file"], dcfg["data_root"],
-                                train_processor(image_size=mcfg.vit.img_size),
-                                num_frames=mcfg.vit.num_frames,
-                                dialect=dcfg.get("dialect", "mistral"))
+        proc = train_processor(image_size=mcfg.vit.img_size)
+        if stage == "pt":
+            ds = CaptionDataset(dcfg["ann_file"], dcfg["data_root"], proc,
+                                num_frames=mcfg.vit.num_frames)
+
+            def collate(batch, _prompt=cfg.get("prompt", "<Video></Video> ")):
+                return collate_pt_batch(batch, tokenizer,
+                                        num_query_tokens=mcfg.total_query_tokens,
+                                        prompt=_prompt)
+        else:
+            ds = InstructionDataset(dcfg["ann_file"], dcfg["data_root"], proc,
+                                    num_frames=mcfg.vit.num_frames,
+                                    dialect=dcfg.get("dialect", "mistral"))
+
+            def collate(batch):
+                return collate_it_batch(batch, tokenizer,
+                                        num_query_tokens=mcfg.total_query_tokens)
         sampler = StatefulShardSampler(len(ds), dcfg.get("batch_size", 1),
                                        seed=epoch)
 
         class _Loader:
-            def __init__(self, ds, sampler, bs):
+            def __init__(self, ds, sampler, bs, collate):
                 self.ds, self.sampler, self.bs = ds, sampler, bs
+                self.collate = collate
 
             def __len__(self):
                 return len(self.sampler) // self.bs
@@ -174,12 +193,10 @@ def _build_it_loaders(cfg, mcfg, epoch, tiny=False):
                 for i in self.sampler:
                     batch.append(self.ds[i])
                     if len(batch) == self.bs:
-                        yield collate_it_batch(
-                            batch, tokenizer,
-                            num_query_tokens=mcfg.total_query_tokens)
+                        yield self.collate(batch)
                         batch = []
 
-        loaders[name] = _Loader(ds, sampler, dcfg.get("batch_size", 1))
+        loaders[name] = _Loader(ds, sampler, dcfg.get("batch_size", 1), collate)
     return loaders
 
 

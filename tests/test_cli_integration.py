@@ -170,3 +170,38 @@ def test_corpus_registry_tables():
 
     with pytest.raises(KeyError):
         resolve_corpus("nonexistent_corpus")
+
+
+def test_train_cli_pt_stage_tiny(tmp_path):
+    """--stage pt: caption annotations -> collate_pt_batch -> sharded step."""
+    cv2 = pytest.importorskip("cv2")
+    vids = tmp_path / "videos"
+    vids.mkdir()
+    w = cv2.VideoWriter(str(vids / "v0.avi"),
+                        cv2.VideoWriter_fourcc(*"MJPG"), 5, (224, 224))
+    for i in range(4):
+        w.write(np.full((224, 224, 3), 20 + i, np.uint8))
+    w.release()
+    ann_file = tmp_path / "cap.json"
+    ann_file.write_text(json.dumps(
+        [{"video": "v0.avi", "caption": "a gray square"}]))
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(f"""
+seed: 4
+max_epochs: 1
+model:
+  num_frames: 2
+optimizer: {{lr: 1.0e-4}}
+scheduler: {{warmup_steps: 1, total_steps: 4}}
+datasets:
+  webvid_toy:
+    ann_file: {ann_file}
+    data_root: {vids}
+    batch_size: 1
+""")
+    from infinite_video_tpu.cli import train as train_cli
+
+    out_dir = str(tmp_path / "run_pt")
+    train_cli.main(["--config", str(cfg), "--stage", "pt",
+                    "--output-dir", out_dir, "--tiny"])
+    assert any(d.startswith("ckpt_") for d in os.listdir(out_dir))
