@@ -187,12 +187,16 @@ def _e2e_vision_fps(chunk_len: int = 8, n_chain: int = 32) -> float:
                              alpha=0.5, sticky=STICKY)
     encoder = ivl.InfVideoLLaMAEncoder(cfg)
     pixels0 = jnp.zeros((1, chunk_len, 224, 224, 3), jnp.bfloat16)
-    params = encoder.init(jax.random.PRNGKey(0), pixels0,
-                          encoder.init_states(1),
-                          ltm_rng=jax.random.PRNGKey(1))["params"]
+    params = jax.jit(
+        lambda: encoder.init(jax.random.PRNGKey(0), pixels0,
+                             encoder.init_states(1),
+                             ltm_rng=jax.random.PRNGKey(1))["params"])()
 
+    # params MUST be a traced argument: closing over the 1.1B-param tree
+    # would bake it into the HLO as constants (observed: >25 GB host RSS and
+    # an unbounded constant-folding compile).
     @partial(jax.jit, static_argnames="n")
-    def stream(seed, n):
+    def run(params, seed, n):
         def step(carry, _):
             states, key = carry
             key, sub, kd = jax.random.split(key, 3)
@@ -205,6 +209,9 @@ def _e2e_vision_fps(chunk_len: int = 8, n_chain: int = 32) -> float:
         init = (encoder.init_states(1), jax.random.PRNGKey(seed))
         (_, _), sums = jax.lax.scan(step, init, None, length=n)
         return sums.sum()
+
+    def stream(seed, n):
+        return run(params, seed, n)
 
     return _chain_fps(stream, chunk_len, n_chain, trials=2)
 
@@ -271,8 +278,10 @@ def _decode_tok_s(batch: int = 1, prefill: int = 128, n_steps: int = 128) -> flo
         lambda: model.init(jax.random.PRNGKey(0),
                            input_ids=jnp.zeros((1, 1), jnp.int32))["params"])()
 
+    # params as a traced argument — closing over the 7B tree would bake it
+    # into the HLO as constants (see _e2e_vision_fps).
     @partial(jax.jit, static_argnames="n")
-    def stream(seed, n):
+    def run(params, seed, n):
         emb = jax.random.normal(jax.random.PRNGKey(seed),
                                 (batch, prefill, cfg.hidden_size),
                                 jnp.bfloat16)
@@ -294,6 +303,9 @@ def _decode_tok_s(batch: int = 1, prefill: int = 128, n_steps: int = 128) -> flo
         (_, _, _), outs = jax.lax.scan(step, (tok, cache, mask),
                                        jnp.arange(n))
         return outs.sum()
+
+    def stream(seed, n):
+        return run(params, seed, n)
 
     return _chain_fps(stream, batch, n_steps, trials=2)
 
