@@ -12,9 +12,11 @@ Layout: q, k, v are [batch*heads, seq, head_dim]; the wrapper handles the
 sequence padding to the block size. Causal masking skips fully-masked key
 blocks via the grid (only k-blocks <= q-block are visited).
 
-Block sizes matter: the 256x512 defaults measured 0.35 ms (195 TF/s bf16)
-for S=2048, H=32, D=128 on v5e vs 1.5 ms for XLA full attention and 2.4 ms
-at 128x128 blocks (grid/pipeline overhead dominated).
+Block sizes matter: the 512x1024 defaults measured 0.45 ms (~154 TF/s bf16,
+78% of v5e peak) for S=2048, H=32, D=128 vs 2.36 ms for XLA full attention
+(floor-subtracted chain timing, bench.py). Swept on hardware: 256x512 is
+0.67 ms, 128x128 is pipeline-overhead dominated; 512x1024 also wins at
+S=512/1024/4096 (0.069/0.159/1.64 ms).
 """
 
 from __future__ import annotations
@@ -102,7 +104,7 @@ def _pad_to(x, size, axis):
                                              "block_k", "interpret"))
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
                     causal: bool = True, sm_scale: float | None = None,
-                    block_q: int = 256, block_k: int = 512,
+                    block_q: int = 512, block_k: int = 1024,
                     interpret: bool = False) -> jnp.ndarray:
     """q: [B, S_q, H, D], k/v: [B, S_kv, H, D] -> [B, S_q, H, D] (fp32 accum).
 
