@@ -84,9 +84,11 @@ def _chain_fps(stream, frames_per_step: int, n: int, trials: int = 3) -> float:
     return frames_per_step / per_step
 
 
-def _ltm_fps(chunk_len: int, n_chain: int) -> float:
+def _ltm_fps(chunk_len: int, n_chain: int, fast_math: bool = False) -> float:
     """Streaming ltm_attend throughput, chunks generated on-device inside the
-    scan body from the carried PRNG key (no host-side data in the chain)."""
+    scan body from the carried PRNG key (no host-side data in the chain).
+    fast_math: the bf16-MXU serving mode (prefers the XLA path over the
+    fp32-internal Pallas kernel — see ops/ltm.py)."""
     from functools import partial
 
     import jax
@@ -97,7 +99,8 @@ def _ltm_fps(chunk_len: int, n_chain: int) -> float:
     cfg = ltm.LTMConfig(num_basis=NUM_BASIS, chunk_len=chunk_len,
                         tokens_per_frame=TOKENS_PER_FRAME, feature_dim=768,
                         hidden_size=768, num_heads=12, tau=0.75, sticky=STICKY,
-                        use_pallas=USE_PALLAS)
+                        fast_math=fast_math,
+                        use_pallas=USE_PALLAS and not fast_math)
     rng = jax.random.PRNGKey(0)
     kp, kv, kq = jax.random.split(rng, 3)
     params = {
@@ -216,6 +219,56 @@ def _e2e_vision_fps(chunk_len: int = 8, n_chain: int = 32) -> float:
     return _chain_fps(stream, chunk_len, n_chain, trials=2)
 
 
+def _e2e_two_phase_fps(chunk_len: int = 8, num_chunks: int = 8,
+                       n_chain: int = 4) -> float:
+    """The engines' actual encode path (eval/engine.py): all chunks' frames
+    batch through the stateless ViT first, then the LTM video Q-former scans
+    (runtime/streaming.py::stream_two_phase). Chain unit = one whole
+    num_chunks-chunk video; fresh pixels per video from the seed."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from infinite_video_tpu.models import infinite_videollama as ivl
+    from infinite_video_tpu.runtime.streaming import stream_two_phase
+
+    cfg = ivl.default_config(chunk_len=chunk_len, num_basis=NUM_BASIS,
+                             alpha=0.5, sticky=STICKY)
+    encoder = ivl.InfVideoLLaMAEncoder(cfg)
+    pixels0 = jnp.zeros((1, chunk_len, 224, 224, 3), jnp.bfloat16)
+    params = jax.jit(
+        lambda: encoder.init(jax.random.PRNGKey(0), pixels0,
+                             encoder.init_states(1),
+                             ltm_rng=jax.random.PRNGKey(1))["params"])()
+
+    @partial(jax.jit, static_argnames="n")
+    def run(params, seed, n):
+        def enc_frames(pixels):
+            return encoder.apply({"params": params}, pixels,
+                                 method=encoder.encode_frames)
+
+        def enc_chunk(tokens, states, key):
+            return encoder.apply({"params": params}, tokens, states,
+                                 ltm_rng=key,
+                                 method=encoder.encode_video_chunk)
+
+        def video(carry, _):
+            key = carry
+            key, kd, kr = jax.random.split(key, 3)
+            chunks = jax.random.normal(
+                kd, (num_chunks, 1, chunk_len, 224, 224, 3), jnp.bfloat16) * 0.5
+            embs, _ = stream_two_phase(enc_frames, enc_chunk,
+                                       encoder.init_states(1), chunks, kr)
+            return key, embs.astype(jnp.float32).sum()
+
+        _, sums = jax.lax.scan(video, jax.random.PRNGKey(seed), None, length=n)
+        return sums.sum()
+
+    return _chain_fps(lambda s, n: run(params, s, n),
+                      chunk_len * num_chunks, n_chain, trials=2)
+
+
 def _attention_ms(use_flash: bool, s: int = 2048, h: int = 32, d: int = 128,
                   n_chain: int = 512) -> float:
     """Per-call latency of causal attention at LLM-context geometry; the
@@ -319,6 +372,9 @@ def main():
     except Exception:
         base = None
 
+    extra["ltm_fast_math_frames_per_sec"] = round(
+        _ltm_fps(chunk_len=8, n_chain=2048, fast_math=True), 2)
+
     fps_nq = _ltm_fps(chunk_len=256, n_chain=256)
     extra["ltm_nextqa_frames_per_sec"] = round(fps_nq, 2)
     try:
@@ -330,6 +386,8 @@ def main():
     if ON_TPU:
         try:
             extra["e2e_vision_frames_per_sec"] = round(_e2e_vision_fps(), 2)
+            extra["e2e_vision_two_phase_frames_per_sec"] = round(
+                _e2e_two_phase_fps(), 2)
         except Exception as e:  # never lose the primary metric to an extra
             extra["e2e_vision_error"] = f"{type(e).__name__}: {e}"[:200]
         try:

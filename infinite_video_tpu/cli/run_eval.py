@@ -53,10 +53,15 @@ def build_argparser():
     p.add_argument("--llm", default="", help="HF decoder directory")
     p.add_argument("--lora", default="")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--fast-math", action="store_true",
+                   help="bf16-MXU LTM serving mode (2.1x, ~6e-3 rel err)")
     p.add_argument("--int8", action="store_true",
                    help="int8 weight-only decoder (halves HBM/decode bandwidth)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny random-weight engine (pipeline smoke/integration)")
+    p.add_argument("--question-batch", type=int, default=1,
+                   help="batch questions through encode+decode (mistral "
+                        "engines; >1 = throughput mode beyond the reference)")
     p.add_argument("--num-shards", type=int, default=0,
                    help="shard questions across hosts (0 = jax.process_count)")
     p.add_argument("--shard-id", type=int, default=-1,
@@ -110,7 +115,8 @@ def build_engine(args):
 
         cfg = vc2.default_config(chunk_len=args.max_int, num_basis=args.num_basis,
                                  tau=args.tau, alpha=args.alpha,
-                                 sticky=args.sticky, num_frames=args.max_int)
+                                 sticky=args.sticky, num_frames=args.max_int,
+                                 fast_math=args.fast_math)
         encoder = vc2.VideoChat2Encoder(cfg)
         decoder = Decoder(cfg.decoder)
         rng = jax.random.PRNGKey(args.seed)
@@ -138,7 +144,8 @@ def build_engine(args):
         from infinite_video_tpu.models.decoder import Decoder
 
         cfg = ivl.default_config(chunk_len=args.max_int, num_basis=args.num_basis,
-                                 tau=args.tau, alpha=args.alpha, sticky=args.sticky)
+                                 tau=args.tau, alpha=args.alpha,
+                                 sticky=args.sticky, fast_math=args.fast_math)
         encoder = ivl.InfVideoLLaMAEncoder(cfg)
         decoder = Decoder(cfg.decoder)
         rng = jax.random.PRNGKey(args.seed)
@@ -247,13 +254,15 @@ def main(argv=None):
 
     if args.benchmark == "nextqa":
         stats = drivers.run_nextqa_mistral(engine, args.data_path, source, out,
-                                           progress, shard=shard)
+                                           progress, shard=shard,
+                                           question_batch=args.question_batch)
     elif args.benchmark == "nextqa-oe":
         stats = drivers.run_nextqa_llama(engine, args.data_path, source, out,
                                          progress)
     elif args.benchmark == "egoschema":
         stats = drivers.run_egoschema(engine, args.data_path, source, out,
-                                      progress, shard=shard)
+                                      progress, shard=shard,
+                                      question_batch=args.question_batch)
     elif args.benchmark == "videomme":
         stats = drivers.run_videomme(engine, args.data_path, source, out,
                                      subtitle_dir=args.subtitle_folder or None,

@@ -103,12 +103,21 @@ def _engine_protocol(engine) -> str:
 
 def _mc_question_loop(engine, samples, frame_source, store: PredictionStore,
                       *, system: str, question_prompt: str, answer_prompt: str,
-                      return_prompt: str, progress: Optional[Callable] = None):
+                      return_prompt: str, progress: Optional[Callable] = None,
+                      question_batch: int = 1):
+    proto = _engine_protocol(engine)
+    if question_batch > 1 and proto == "mistral":
+        _mc_question_loop_batched(engine, samples, frame_source, store,
+                                  system=system, question_prompt=question_prompt,
+                                  answer_prompt=answer_prompt,
+                                  return_prompt=return_prompt,
+                                  progress=progress,
+                                  question_batch=question_batch)
+        return
     for i, s in enumerate(samples):
         if s["qid"] in store:
             continue
         chunks = frame_source(s["video"])
-        proto = _engine_protocol(engine)
         if proto == "mistral":
             emb = engine.encode_video(chunks, system=system)
             pred = engine.answer(emb, s["question"], system=system,
@@ -124,6 +133,39 @@ def _mc_question_loop(engine, samples, frame_source, store: PredictionStore,
             progress(i, len(samples), s["qid"], pred)
 
 
+def _mc_question_loop_batched(engine, samples, frame_source, store,
+                              *, system, question_prompt, answer_prompt,
+                              return_prompt, progress, question_batch):
+    """Throughput mode beyond the reference's sequential drivers: videos of a
+    group batch through the streaming encode (chunk geometry is fixed per
+    run) and answers decode together over left-padded prompts
+    (engine.answer_batch). Groups are padded by repeating the last sample so
+    one compiled shape serves the whole run; answers are identical to the
+    sequential path (tested)."""
+    import numpy as np
+
+    pending = [s for s in samples if s["qid"] not in store]
+    done = 0
+    for g in range(0, len(pending), question_batch):
+        group = pending[g:g + question_batch]
+        real = len(group)
+        padded = group + [group[-1]] * (question_batch - real)
+        chunks = np.concatenate([np.asarray(frame_source(s["video"]))
+                                 for s in padded], axis=1)
+        embs = engine.encode_video(chunks, system=system)
+        preds = engine.answer_batch(embs, [s["question"] for s in padded],
+                                    system=system,
+                                    question_prompt=question_prompt,
+                                    answer_prompt=answer_prompt,
+                                    return_prompt=return_prompt)
+        for s, pred in zip(group, preds[:real]):
+            store.record(s["qid"], {"answer": s["answer"], "pred": pred,
+                                    "content": s.get("answer_content", "")})
+            done += 1
+            if progress:
+                progress(done, len(pending), s["qid"], pred)
+
+
 def _shard(samples, shard):
     """Multi-host sweep: host i of n handles samples[i::n] (replaces the
     reference's SLURM fan-out scripts); predictions merge by key."""
@@ -134,7 +176,7 @@ def _shard(samples, shard):
 
 
 def run_nextqa_mistral(engine, anno_csv: str, frame_source, out_path: str,
-                       progress=None, shard=None) -> Dict:
+                       progress=None, shard=None, question_batch: int = 1) -> Dict:
     """∞-VideoChat2 NExT-QA MC protocol (run_nextqa_mistral.py:536-611)."""
     samples = _shard(load_igvlm_csv(anno_csv), shard)
     store = PredictionStore(out_path)
@@ -142,7 +184,7 @@ def run_nextqa_mistral(engine, anno_csv: str, frame_source, out_path: str,
                       system=MC_SYSTEM_PROMPT,
                       question_prompt="\nOnly give the best option.",
                       answer_prompt="Best option:(", return_prompt="(",
-                      progress=progress)
+                      progress=progress, question_batch=question_batch)
     rows = [{"video": s["qid"].rsplit("_", 1)[0], "qid": s["qid"].rsplit("_", 1)[1],
              "type": s.get("type") or "DO"} for s in samples]
     stats = eval_qa_nextqa(rows, store.data)
@@ -174,7 +216,7 @@ def run_nextqa_llama(engine, anno_csv: str, frame_source, out_path: str,
 
 
 def run_egoschema(engine, anno_csv: str, frame_source, out_path: str,
-                  progress=None, shard=None) -> Dict:
+                  progress=None, shard=None, question_batch: int = 1) -> Dict:
     """EgoSchema MC; accuracy via exact-option matching; predictions JSON is
     also the official-server submission payload ({qid: option_index},
     validate/egoschema_acc.py:16-25)."""
@@ -184,7 +226,7 @@ def run_egoschema(engine, anno_csv: str, frame_source, out_path: str,
                       system=MC_SYSTEM_PROMPT,
                       question_prompt="\nOnly give the best option.",
                       answer_prompt="Best option:(", return_prompt="(",
-                      progress=progress)
+                      progress=progress, question_batch=question_batch)
     data = {}
     for s in samples:
         rec = store.get(s["qid"])

@@ -55,6 +55,9 @@ class LLaMAVideoQA:
 
         @jax.jit
         def _encode(enc_params, chunks, rng):
+            # fused per-chunk scan: measured faster than two-phase batched-ViT
+            # streaming at EVA-g geometry (188 vs 174 f/s on v5e, bench.py
+            # e2e_vision* metrics) — the batch-8 ViT already saturates the MXU
             def enc(chunk, states, key):
                 return encoder.apply({"params": enc_params}, chunk, states,
                                      ltm_rng=key)
@@ -112,6 +115,7 @@ class MistralVideoQA:
 
         @jax.jit
         def _encode(enc_params, chunks, instr_ids, instr_mask, rng):
+            # fused per-chunk scan (see LLaMAVideoQA._encode)
             def enc(chunk, states, key):
                 return encoder.apply({"params": enc_params}, chunk, states,
                                      instruction_ids=instr_ids,
@@ -123,12 +127,16 @@ class MistralVideoQA:
 
     def encode_video(self, chunks, system: str = "", rng=None) -> jnp.ndarray:
         """Per-chunk encode_img with the system text as Q-former instruction
-        (run_nextqa_mistral.py:141-152), then mean over chunks."""
+        (run_nextqa_mistral.py:141-152), then mean over chunks. chunks may be
+        batched over videos ([C, B, ...]); the shared instruction tiles to B."""
+        chunks = jnp.asarray(chunks)
         enc = self.qformer_tokenizer(system, add_special_tokens=True)
-        ids = jnp.asarray([enc["input_ids"]], jnp.int32)
-        mask = jnp.asarray([enc.get("attention_mask", [1] * ids.shape[1])],
-                           jnp.float32)
-        return self._encode(self.enc_params, jnp.asarray(chunks), ids, mask,
+        b = chunks.shape[1]
+        ids = jnp.tile(jnp.asarray([enc["input_ids"]], jnp.int32), (b, 1))
+        mask = jnp.tile(
+            jnp.asarray([enc.get("attention_mask", [1] * ids.shape[1])],
+                        jnp.float32), (b, 1))
+        return self._encode(self.enc_params, chunks, ids, mask,
                             rng if rng is not None else jax.random.PRNGKey(0))
 
     def answer(self, video_emb, question: str, *, system: str = "",

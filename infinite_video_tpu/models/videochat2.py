@@ -46,14 +46,15 @@ class VideoChat2Config:
 
 def default_config(chunk_len: int = 16, num_basis: int = 64, tau: float = 0.75,
                    alpha: float = 1.0, sticky: bool = True, num_frames: int = 16,
-                   dtype=jnp.bfloat16) -> VideoChat2Config:
-    """README.md:60 NExT-QA recipe; model geometry configs/config_mistral.json."""
+                   dtype=jnp.bfloat16, fast_math: bool = False) -> VideoChat2Config:
+    """README.md:60 NExT-QA recipe; model geometry configs/config_mistral.json.
+    fast_math: bf16-MXU LTM serving mode (2.1x, ~6e-3 rel err; ops/ltm.py)."""
     import jax as _jax
 
     ltm = LTMConfig(num_basis=num_basis, chunk_len=chunk_len,
                     tokens_per_frame=196, feature_dim=1024, hidden_size=768,
-                    num_heads=12, tau=tau, sticky=sticky,
-                    use_pallas=_jax.default_backend() == "tpu")
+                    num_heads=12, tau=tau, sticky=sticky, fast_math=fast_math,
+                    use_pallas=(not fast_math) and _jax.default_backend() == "tpu")
     return VideoChat2Config(
         vit=umt_vit_l_config(num_frames=num_frames, dtype=dtype),
         qformer=QFormerConfig(num_layers=12, cross_attention_freq=2,
@@ -135,11 +136,32 @@ class VideoChat2Encoder(nn.Module):
 
         Returns (mistral_embeds [B, total_query_tokens, llm_width], states).
         """
-        cfg = self.cfg
-        b = pixels.shape[0]
-        feats = self.vision_encoder(pixels)                   # [B, T*L, C]
-        feats = self.vision_layernorm(feats.astype(jnp.float32))
+        feats = self.encode_frames(pixels)
+        return self.encode_video_chunk(feats, ltm_states,
+                                       instruction_ids=instruction_ids,
+                                       instruction_mask=instruction_mask,
+                                       ltm_rng=ltm_rng, ltm_on=ltm_on)
 
+    def encode_frames(self, pixels: jnp.ndarray) -> jnp.ndarray:
+        """Stateless vision phase: [B, T, H, W, C] -> fp32 [B, T*L, C].
+
+        Split out so streaming can batch the ViT over all chunks at once
+        (runtime/streaming.py::stream_two_phase) — the ViT carries no
+        cross-chunk state, only the Q-former's LTM does."""
+        feats = self.vision_encoder(pixels)                   # [B, T*L, C]
+        return self.vision_layernorm(feats.astype(jnp.float32))
+
+    def encode_video_chunk(
+        self,
+        feats: jnp.ndarray,                       # [B, T*L, C] from encode_frames
+        ltm_states: Tuple = (),
+        instruction_ids: Optional[jnp.ndarray] = None,
+        instruction_mask: Optional[jnp.ndarray] = None,
+        ltm_rng: Optional[jax.Array] = None,
+        ltm_on: bool = True,
+    ):
+        """Stateful phase: Q-former (+LTM) + projection."""
+        b = feats.shape[0]
         q = jnp.concatenate([self.query_tokens, self.extra_query_tokens], axis=1)
         q = jnp.tile(q, (b, 1, 1))
 

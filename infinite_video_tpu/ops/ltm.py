@@ -47,9 +47,17 @@ __all__ = ["LTMConfig", "LTMState", "init_state", "ltm_attend", "consolidate",
            "continuous_attention"]
 
 # The LTM is the numerical-parity-critical path: pin fp32 MXU passes so TPU
-# results match the CPU/torch reference (costs ~11% on this latency-bound
-# path; measured in bench.py).
+# results match the CPU/torch reference. `LTMConfig.fast_math=True` opts into
+# 1-pass bf16 MXU inputs with fp32 accumulation (Precision.DEFAULT) for
+# serving — measured 2.1x on the chunk step (45.6 vs 95.6 us, v5e, EgoSchema
+# geometry) at 6e-3 max relative error. With fast_math prefer use_pallas=
+# False: the fused kernel is fp32-internal and loses to bf16 XLA einsums.
+# Golden parity holds only at the default HIGHEST.
 _PREC = jax.lax.Precision.HIGHEST
+
+
+def _prec(cfg) -> jax.lax.Precision:
+    return jax.lax.Precision.DEFAULT if cfg.fast_math else _PREC
 
 
 @dataclasses.dataclass(frozen=True)
@@ -76,6 +84,10 @@ class LTMConfig:
     # Fuse the Gibbs integral chain into one Pallas kernel (VMEM-resident);
     # numerically equivalent to the XLA path (tests/test_ltm_fused.py).
     use_pallas: bool = False
+    # Serving mode: bf16 MXU passes with fp32 accumulation for all matmuls
+    # (exactness vs the torch reference relaxes from ~2e-4 to ~6e-3; 2.1x
+    # faster on v5e — see module comment).
+    fast_math: bool = False
     pallas_interpret: bool = False  # test hook (CPU interpret mode)
 
     @property
@@ -200,20 +212,22 @@ def consolidate(
                               cfg.ridge, cfg.basis)
     )
 
+    prec = _prec(cfg)
+
     def first_chunk(_key):
-        B = jnp.einsum("bel,ln->bne", x, G, precision=_PREC)
+        B = jnp.einsum("bel,ln->bne", x, G, precision=prec)
         return B
 
     def update(key):
         if cfg.sticky:
             samples = _sticky_resample(cfg, state, key, sticky_bins)  # [batch, S, N]
-            xm_tau = jnp.einsum("bne,bsn->bes", state.B, samples, precision=_PREC)
+            xm_tau = jnp.einsum("bne,bsn->bes", state.B, samples, precision=prec)
         else:
             U = jnp.asarray(gmatrix.uniform_resample_psi(cfg.num_basis, cfg.nb_samples,
                                                          cfg.tau, cfg.basis))  # [S, N]
-            xm_tau = jnp.einsum("bne,sn->bes", state.B, U, precision=_PREC)
+            xm_tau = jnp.einsum("bne,sn->bes", state.B, U, precision=prec)
         x_cat = jnp.concatenate([xm_tau, x], axis=2)             # [batch, e, S+L]
-        return jnp.einsum("bel,ln->bne", x_cat, G_inf, precision=_PREC)
+        return jnp.einsum("bel,ln->bne", x_cat, G_inf, precision=prec)
 
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -226,7 +240,7 @@ def consolidate(
 # Continuous attention.
 
 
-def _gibbs_density(z: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+def _gibbs_density(z: jnp.ndarray, w: jnp.ndarray, precision=_PREC) -> jnp.ndarray:
     """p(t) = exp(z)/∫exp(z)dt with trapezoid weights w along the last axis.
 
     Max-subtraction is exact (cancels between numerator and normaliser) and
@@ -235,7 +249,7 @@ def _gibbs_density(z: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """
     z = z - jax.lax.stop_gradient(jnp.max(z, axis=-1, keepdims=True))
     ez = jnp.exp(z)
-    Z = jnp.einsum("...t,t->...", ez, w, precision=_PREC)[..., None]
+    Z = jnp.einsum("...t,t->...", ez, w, precision=precision)[..., None]
     return ez / Z
 
 
@@ -286,18 +300,19 @@ def continuous_attention(
             interpret=cfg.pallas_interpret)
         mass = seg_bh.sum(axis=1)                            # [b,127]
     else:
+        prec = _prec(cfg)
         # z(t): [b,h,Q,T]
-        k_psi = jnp.einsum("bhnd,tn->bhtd", kh, psi_t, precision=_PREC)
-        z = jnp.einsum("bhqd,bhtd->bhqt", qh, k_psi, precision=_PREC)
-        p = _gibbs_density(z, w)
+        k_psi = jnp.einsum("bhnd,tn->bhtd", kh, psi_t, precision=prec)
+        z = jnp.einsum("bhqd,bhtd->bhqt", qh, k_psi, precision=prec)
+        p = _gibbs_density(z, w, prec)
 
         # I = ∫ p(t) ψ(t) dt : [b,h,Q,N]; context = I·V.
-        integral = jnp.einsum("bhqt,t,tn->bhqn", p, w, psi_t, precision=_PREC)
-        ctx = jnp.einsum("bhqn,bhnd->bhqd", integral, vh, precision=_PREC)
+        integral = jnp.einsum("bhqt,t,tn->bhqn", p, w, psi_t, precision=prec)
+        ctx = jnp.einsum("bhqn,bhnd->bhqd", integral, vh, precision=prec)
 
-        k_psi_e = jnp.einsum("bhnd,tn->bhtd", kh, psi_e, precision=_PREC)  # [b,h,129,d]
-        z_e = jnp.einsum("bhqd,bhtd->bhqt", qh, k_psi_e, precision=_PREC)  # [b,h,Q,129]
-        p_e = _gibbs_density(z_e, w_e)                       # [b,h,Q,129]
+        k_psi_e = jnp.einsum("bhnd,tn->bhtd", kh, psi_e, precision=prec)  # [b,h,129,d]
+        z_e = jnp.einsum("bhqd,bhtd->bhqt", qh, k_psi_e, precision=prec)  # [b,h,Q,129]
+        p_e = _gibbs_density(z_e, w_e, prec)                 # [b,h,Q,129]
         seg = 0.5 * (p_e[..., 1:-1] + p_e[..., 2:]) * de[1:]  # [b,h,Q,127]
         mass = seg.sum(axis=(1, 2))                          # [b,127]
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, q_len, hidden)
@@ -329,10 +344,11 @@ def ltm_attend(
     x = pool_frames(cfg, enc_hidden)                          # [B, e, L]
     B = consolidate(cfg, state, x, key, sticky_bins)          # [B, N, e]
 
+    prec = _prec(cfg)
     keys = jnp.einsum("bne,eh->bnh", B, params["key"]["kernel"],
-                      precision=_PREC) + params["key"]["bias"]
+                      precision=prec) + params["key"]["bias"]
     values = jnp.einsum("bne,eh->bnh", B, params["value"]["kernel"],
-                        precision=_PREC) + params["value"]["bias"]
+                        precision=prec) + params["value"]["bias"]
 
     ctx, mass = continuous_attention(cfg, queries.astype(jnp.float32), keys, values)
     new_state = LTMState(B=B, sticky_mass=mass, step=state.step + 1)

@@ -56,12 +56,16 @@ def stream_two_phase(
     rng: Optional[jax.Array] = None,
     vit_macro_batch: int = 0,     # frames-chunks per ViT call (0 = all at once)
 ):
-    """Bandwidth-optimal streaming: the ViT has no cross-chunk state, so all
-    chunks' frames are encoded in large batches first (maximises MXU
-    utilisation), and only the stateful LTM/video-Q-former scans sequentially.
+    """Alternative streaming layout: the ViT has no cross-chunk state, so all
+    chunks' frames are encoded in large batches first, and only the stateful
+    LTM/video-Q-former scans sequentially.
 
-    Equivalent output to stream_chunks(full encode); measured ~1.9x E2E
-    throughput at EVA-g geometry on v5e (ViT batch 8 frames -> whole video).
+    Equivalent output to stream_chunks(full encode). Honest v5e measurement
+    (bench.py e2e_vision*): at EVA-g geometry with 8-frame chunks the fused
+    per-chunk scan is slightly FASTER (188 vs 174 f/s) — a batch-8 EVA-g
+    already saturates the MXU. Two-phase pays off when per-chunk ViT batches
+    are small (few frames per chunk, small encoders) or when `vit_macro_batch`
+    must bound ViT memory; the engines default to the fused path.
     """
     c, b = chunks.shape[:2]
     flat = chunks.reshape((c * b,) + chunks.shape[2:])

@@ -54,6 +54,23 @@ def test_run_eval_cli_tiny_end_to_end(synthetic_benchmark, tmp_path):
     # grouped accuracy uses the CSV's type column (CW here)
     assert data["stats"]["CW"] == data["stats"]["Acc"]
 
+    # batched-question mode reproduces the same predictions end-to-end
+    out_dir2 = str(tmp_path / "out_batched")
+    run_eval.main([
+        "--benchmark", "nextqa", "--model", "videochat2", "--tiny",
+        "--data-path", anno, "--video-folder", vids,
+        "--output-dir", out_dir2, "--max-int", "2", "--num-samples", "2",
+        "--num-basis", "16", "--llm", "unused-with-tiny",
+        "--question-batch", "2",
+    ])
+    preds2 = []
+    for root, _, files in os.walk(out_dir2):
+        preds2 += [os.path.join(root, f) for f in files if f.endswith(".json")]
+    with open(preds2[0]) as f:
+        data2 = json.load(f)
+    for k in ("vid0_0", "vid1_1"):
+        assert data2[k]["pred"] == data[k]["pred"], k
+
 
 def test_train_cli_tiny_end_to_end(tmp_path):
     """Full stage-3 launcher path: config -> datasets -> MetaLoader ->

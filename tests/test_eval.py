@@ -219,3 +219,42 @@ def test_match_option_embedding_vs_difflib():
     # difflib and embedding agree on verbatim matches
     assert match_option(options[2], options) == 2
     assert match_option(options[2], options, embed_fn=bow_embed) == 2
+
+
+def test_question_batched_loop_matches_sequential(tmp_path):
+    """question_batch>1 must reproduce the sequential predictions exactly
+    (groups pad by repeating the last sample; extras dropped)."""
+    import jax.numpy as jnp
+
+    class Eng:
+        protocol = "mistral"
+        calls = []
+
+        def encode_video(self, chunks, system="", rng=None):
+            return jnp.asarray(chunks).mean(axis=(0, 2))  # [B] per-video code
+
+        def answer(self, emb, question, **kw):
+            return f"({chr(ord('A') + int(float(emb[0])) % 3)}) x"
+
+        def answer_batch(self, embs, questions, **kw):
+            Eng.calls.append(len(questions))
+            return [self.answer(embs[i:i + 1], q)
+                    for i, q in enumerate(questions)]
+
+    anno = str(tmp_path / "a.csv")
+    _write_igvlm_csv(anno, n=5)
+    def src(v):  # "vid3.mp4" -> constant chunks encoding the video index
+        idx = int("".join(c for c in v if c.isdigit()))
+        return np.full((2, 1, 3), float(idx), np.float32)
+
+    seq = drivers.run_egoschema(Eng(), anno, src, str(tmp_path / "s.json"))
+    bat = drivers.run_egoschema(Eng(), anno, src, str(tmp_path / "b.json"),
+                                question_batch=2)
+    assert seq == bat
+    import json as _json
+
+    a = _json.load(open(tmp_path / "s.json"))
+    b = _json.load(open(tmp_path / "b.json"))
+    assert a == b
+    # 5 questions at batch 2 -> 3 padded groups of 2
+    assert Eng.calls == [2, 2, 2]

@@ -128,3 +128,27 @@ def test_vc2_pooling_variant():
                                    rtol=2e-4, atol=2e-5)
         np.testing.assert_allclose(np.asarray(ctx), d[f"ctx{i}"],
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_fast_math_flag_plumbs_and_stays_close():
+    """fast_math relaxes MXU precision only — on CPU Precision.DEFAULT is
+    fp32, so outputs must match the fp32 path exactly; the flag must flow
+    through ltm_attend without changing semantics."""
+    import dataclasses
+
+    import jax
+
+    from infinite_video_tpu.ops import ltm as ltm_mod
+
+    d = np.load(os.path.join(GOLDEN_DIR, "ltm_uniform_n64_l16.npz"))
+    base = ltm_mod.LTMConfig(num_basis=64, chunk_len=16, sticky=False)
+    fast = dataclasses.replace(base, fast_math=True)
+    params = _params(d)
+    q = jnp.asarray(d["q"])
+    outs = []
+    for cfg in (base, fast):
+        state = ltm_mod.init_state(cfg, 1)
+        ctx, state = ltm_mod.ltm_attend(cfg, params, state,
+                                        jnp.asarray(d["k0"]), q)
+        outs.append(np.asarray(ctx))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-6, atol=1e-7)
