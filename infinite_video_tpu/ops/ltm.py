@@ -297,7 +297,7 @@ def continuous_attention(
         de1 = jnp.zeros_like(edges).at[: de.shape[0] - 1].set(de[1:])
         ctx, seg_bh = fused_continuous_attention_with_mass(
             qh, kh, vh, psi_t, w, psi_e, w_e, de1,
-            interpret=cfg.pallas_interpret)
+            interpret=cfg.pallas_interpret, fast_math=cfg.fast_math)
         mass = seg_bh.sum(axis=1)                            # [b,127]
     else:
         prec = _prec(cfg)

@@ -51,36 +51,39 @@ def _kernel(q_ref, k_ref, v_ref, psi_ref, w_ref, o_ref, *, t_real: int):
 
 def _kernel_with_mass(q_ref, k_ref, v_ref, psi_ref, w_ref, psie_ref, we_ref,
                       de_ref, o_ref, m_ref, *, t_real: int, e_real: int,
-                      q_real: int):
+                      q_real: int, cdt=jnp.float32):
     """Main integral + the sticky edge-mass side computation, one VMEM pass.
 
     Edge masses replicate ops/ltm.py's cumulative-trapezoid diff (itself
     gibbs:200-203): density at the 129 nudged edges, seg_j = ½(p_{j+1}+p_{j+2})
     ·(e_{j+2}-e_{j+1}), summed over queries (heads are summed by the caller).
     """
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    psi = psi_ref[:]
+    # cdt=bf16 = the fast_math serving mode: bf16 MXU passes, fp32
+    # accumulation and fp32 exp/normalize (matches ops/ltm.py fast_math).
+    q = q_ref[0].astype(cdt)
+    k = k_ref[0].astype(cdt)
+    v = v_ref[0].astype(cdt)
+    psi = psi_ref[:].astype(cdt)
     w = w_ref[:]
 
     kpsi = jnp.dot(psi, k, preferred_element_type=jnp.float32)
-    z = jax.lax.dot_general(q, kpsi, (((1,), (1,)), ((), ())),
+    z = jax.lax.dot_general(q, kpsi.astype(cdt), (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
     t_ids = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
     z = jnp.where(t_ids < t_real, z, -1e30)
     m = jnp.max(z, axis=-1, keepdims=True)
     ez = jnp.exp(z - m) * w
     p = ez / jnp.maximum(jnp.sum(ez, axis=-1, keepdims=True), 1e-30)
-    integral = jnp.dot(p, psi, preferred_element_type=jnp.float32)
-    o_ref[0] = jnp.dot(integral, v, preferred_element_type=jnp.float32)
+    integral = jnp.dot(p.astype(cdt), psi, preferred_element_type=jnp.float32)
+    o_ref[0] = jnp.dot(integral.astype(cdt), v,
+                       preferred_element_type=jnp.float32)
 
     # --- edge density → per-query seg masses, summed over queries ---
-    psie = psie_ref[:]                      # [E_pad, N]
+    psie = psie_ref[:].astype(cdt)          # [E_pad, N]
     we = we_ref[:]                          # [1, E_pad]
     de1 = de_ref[:]                         # [1, E_pad] (seg widths, 0-padded)
     kpsi_e = jnp.dot(psie, k, preferred_element_type=jnp.float32)   # [E_pad, d]
-    z_e = jax.lax.dot_general(q, kpsi_e, (((1,), (1,)), ((), ())),
+    z_e = jax.lax.dot_general(q, kpsi_e.astype(cdt), (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)   # [Q, E_pad]
     e_ids = jax.lax.broadcasted_iota(jnp.int32, z_e.shape, 1)
     z_e = jnp.where(e_ids < e_real, z_e, -1e30)
@@ -98,12 +101,12 @@ def _kernel_with_mass(q_ref, k_ref, v_ref, psi_ref, w_ref, psie_ref, we_ref,
     m_ref[0] = jnp.sum(seg, axis=0, keepdims=True)                  # [1, E_pad]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "fast_math"))
 def fused_continuous_attention_with_mass(
         qh: jnp.ndarray, kh: jnp.ndarray, vh: jnp.ndarray,
         psi: jnp.ndarray, w: jnp.ndarray,
         psi_e: jnp.ndarray, w_e: jnp.ndarray, de1: jnp.ndarray,
-        interpret: bool = False):
+        interpret: bool = False, fast_math: bool = False):
     """Like fused_continuous_attention, also returning per-(b,h) edge-segment
     masses [B, H, n_seg] (sum over heads + normalization happen in the caller).
 
@@ -132,8 +135,10 @@ def fused_continuous_attention_with_mass(
 
     qg, kg, vg = prep(qh, q_pad), prep(kh, n), prep(vh, n)
 
+    cdt = jnp.bfloat16 if fast_math else jnp.float32
     out, mass = pl.pallas_call(
-        functools.partial(_kernel_with_mass, t_real=t, e_real=e, q_real=q_len),
+        functools.partial(_kernel_with_mass, t_real=t, e_real=e, q_real=q_len,
+                          cdt=cdt),
         grid=(b * h,),
         in_specs=[
             pl.BlockSpec((1, q_pad, d_pad), lambda i: (i, 0, 0)),

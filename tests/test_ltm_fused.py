@@ -81,3 +81,33 @@ def test_fused_mass_with_ragged_query_length():
                                rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(np.asarray(sp.sticky_mass),
                                np.asarray(sx.sticky_mass), rtol=2e-5, atol=2e-6)
+
+
+def test_fused_fast_math_mode_close_to_fp32():
+    """The kernel's bf16 fast_math mode (interpret) stays within bf16
+    rounding of the fp32 fused result."""
+    import jax
+    import jax.numpy as jnp
+
+    from infinite_video_tpu.ops.pallas.ltm_fused import (
+        fused_continuous_attention_with_mass)
+
+    rng = np.random.default_rng(0)
+    b, h, q, d, n, t, e = 1, 2, 8, 64, 32, 100, 17
+    qh = jnp.asarray(rng.normal(size=(b, h, q, d)), jnp.float32) * 0.2
+    kh = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32) * 0.2
+    vh = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32) * 0.2
+    psi = jnp.asarray(rng.random((t, n)), jnp.float32)
+    w = jnp.full((t,), 1.0 / t, jnp.float32)
+    psi_e = jnp.asarray(rng.random((e, n)), jnp.float32)
+    w_e = jnp.full((e,), 1.0 / e, jnp.float32)
+    de1 = jnp.full((e,), 1.0 / e, jnp.float32)
+
+    ctx32, seg32 = fused_continuous_attention_with_mass(
+        qh, kh, vh, psi, w, psi_e, w_e, de1, interpret=True)
+    ctx16, seg16 = fused_continuous_attention_with_mass(
+        qh, kh, vh, psi, w, psi_e, w_e, de1, interpret=True, fast_math=True)
+    np.testing.assert_allclose(np.asarray(ctx16), np.asarray(ctx32),
+                               rtol=3e-2, atol=3e-2)
+    np.testing.assert_allclose(np.asarray(seg16), np.asarray(seg32),
+                               rtol=5e-2, atol=5e-3)
