@@ -75,8 +75,12 @@ def make_mesh(dp: Optional[int] = None, tp: int = 1,
 
 
 def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
-    """Shard the leading (batch) axis over dp, replicate the rest."""
-    return NamedSharding(mesh, P("dp", *([None] * (ndim - 1))))
+    """Shard the leading (batch) axis over every data-parallel axis of the
+    mesh — ("dcn", "dp") on hybrid multi-slice meshes, "dp" otherwise —
+    replicate the rest."""
+    data_axes = tuple(a for a in ("dcn", "dp") if a in mesh.axis_names)
+    lead = data_axes if len(data_axes) > 1 else data_axes[0]
+    return NamedSharding(mesh, P(lead, *([None] * (ndim - 1))))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -45,3 +45,51 @@ def test_dp8_sharded_reduction():
 def test_make_mesh_explicit_devices_subset():
     mesh = make_mesh(dp=2, tp=2, devices=jax.devices()[:4])
     assert dict(mesh.shape) == {"dp": 2, "tp": 2}
+
+
+def test_hybrid_mesh_train_step():
+    """Full train step on a ('dcn', 'dp', 'tp') 2x2x2 mesh: batch sharded
+    over both data axes, decoder TP, ZeRO over dp — gradients all-reduce
+    across slices implicitly."""
+    from infinite_video_tpu.models import videochat2 as vc2
+    from infinite_video_tpu.models.decoder import Decoder
+    from infinite_video_tpu.parallel.sharding import shard_params
+    from infinite_video_tpu.training.optim import (cosine_warmup_schedule,
+                                                   make_optimizer)
+    from infinite_video_tpu.training.trainer import (init_train_state,
+                                                     make_train_step)
+
+    mesh = make_mesh(dp=2, tp=2, dcn_dp=2)
+    cfg = vc2.tiny_config()
+    encoder, decoder = vc2.VideoChat2Encoder(cfg), Decoder(cfg.decoder)
+    b = 4  # dcn*dp
+    t = cfg.vit.num_frames
+    pixels = jax.random.normal(jax.random.PRNGKey(0), (b, t, 224, 224, 3)) * 0.1
+    instr = jnp.tile(jnp.arange(6)[None], (b, 1))
+    pre = jnp.tile(jnp.arange(4)[None], (b, 1))
+    post = jnp.tile(jnp.arange(5)[None], (b, 1))
+    qn = cfg.total_query_tokens
+    labels = jnp.concatenate([
+        jnp.full((b, 4 + qn), -100, jnp.int32),
+        jnp.tile(jnp.arange(5)[None], (b, 1)).astype(jnp.int32)], axis=1)
+    batch = {"pixels": pixels, "instruction_ids": instr, "pre_ids": pre,
+             "post_ids": post, "labels": labels}
+
+    enc_params = encoder.init(jax.random.PRNGKey(1), pixels[:1],
+                              encoder.init_states(1),
+                              instruction_ids=instr[:1])["params"]
+    dec_params = decoder.init(jax.random.PRNGKey(2), input_ids=pre[:1])["params"]
+    with mesh:
+        params = {"encoder": shard_params(enc_params, mesh, rules=()),
+                  "decoder": shard_params(dec_params, mesh)}
+        tx = make_optimizer(cosine_warmup_schedule(1e-3, 2, 10))
+        state = init_train_state(params, tx, mesh=mesh, zero=True)
+        sharded = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, data_sharding(mesh, x.ndim)), batch)
+        # batch leading axis is split over dcn x dp = 4 -> 1 row per data group
+        assert sharded["pixels"].addressable_shards[0].data.shape[0] == 1
+        step = jax.jit(make_train_step(encoder, decoder, tx, mesh=mesh,
+                                       zero=True))
+        state, metrics = step(state, sharded, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
