@@ -119,9 +119,137 @@ def main(argv=None):
                             step, make_loader)
             runner.fit(state)
     else:
-        raise SystemExit("stage-1 launcher wiring requires dataset configs; "
-                         "use training/runner.py + models/videochat2_qformer.py "
-                         "directly (see tests/test_stage1_and_retrieval.py)")
+        # stage-1: Q-former contrastive pretraining (tasks/train_qformer.py).
+        from infinite_video_tpu.models import videochat2_qformer as s1
+        from infinite_video_tpu.training.trainer import make_qformer_train_step
+
+        if args.accum_steps != 1:
+            raise SystemExit("stage-1 losses are contrastive over the whole "
+                             "batch; gradient accumulation is not supported "
+                             "(the reference trains stage-1 without it)")
+        model_cfg = cfg.get("model", {})
+        if args.tiny:
+            mcfg = s1.tiny_pretrain_config()
+        else:
+            mcfg = s1.default_pretrain_config(
+                num_frames=model_cfg.get("num_frames", 4))
+        mcfg = _apply_loss_weights(mcfg, cfg)
+        model = s1.VideoChat2QFormerPretrain(mcfg)
+
+        rng = jax.random.PRNGKey(cfg.get("seed", 42))
+        t = mcfg.vit.num_frames
+        pixels0 = jnp.zeros((2, t, mcfg.vit.img_size, mcfg.vit.img_size, 3))
+        ids0 = jnp.zeros((2, 4), jnp.int32)
+        params = model.init(rng, pixels0, ids0, jnp.ones((2, 4)))["params"]
+        if model_cfg.get("pretrained_path"):
+            from infinite_video_tpu.convert.checkpoints import (
+                assemble_videochat2_qformer_params)
+
+            params = assemble_videochat2_qformer_params(
+                params, model_cfg["pretrained_path"])
+        with mesh:
+            params = shard_params(params, mesh, rules=())
+            sched = cosine_warmup_schedule(
+                cfg.optimizer.get("lr", 1e-4),
+                cfg.scheduler.get("warmup_steps", 100),
+                cfg.scheduler.get("total_steps", 10000))
+            mgn = cfg.optimizer.get("max_grad_norm", -1.0)  # -1 disables (ref)
+            tx = make_optimizer(
+                sched,
+                weight_decay=cfg.optimizer.get("weight_decay", 0.02),
+                max_grad_norm=None if mgn is None or mgn <= 0 else mgn,
+                trainable_pattern=cfg.optimizer.get("trainable_pattern"))
+            state = init_train_state(params, tx, mesh=mesh, zero=args.zero)
+            step = jax.jit(make_qformer_train_step(model, tx, mesh=mesh,
+                                                   zero=args.zero))
+
+            def make_loader(epoch, skip):
+                from infinite_video_tpu.data.loader import MetaLoader
+
+                loaders = _build_qformer_loaders(cfg, mcfg, epoch,
+                                                 tiny=args.tiny)
+                return MetaLoader(loaders, seed=cfg.get("seed", 42) + epoch,
+                                  skip_num=skip)
+
+            runner = Runner(RunnerConfig(output_dir=args.output_dir,
+                                         max_epochs=cfg.get("max_epochs", 1)),
+                            step, make_loader)
+            runner.fit(state)
+
+
+def _apply_loss_weights(mcfg, cfg):
+    """criterion.loss_weight overrides (config_7b_stage1.py criterion dict)."""
+    import dataclasses
+
+    weights = cfg.get("criterion", {}).get("loss_weight", {})
+    if not weights:
+        return mcfg
+    fields = {"vtc": "loss_vtc", "vtm": "loss_vtm", "mlm": "loss_mlm",
+              "cap": "loss_cap"}
+    updates = {fields[k]: float(v) for k, v in weights.items() if k in fields}
+    return dataclasses.replace(mcfg, **updates)
+
+
+def _build_qformer_loaders(cfg, mcfg, epoch, tiny=False):
+    """Stage-1 caption loaders: corpus names or explicit datasets entries →
+    collate_qformer_batch dicts (pixels, BERT-tokenized captions, idx)."""
+    from infinite_video_tpu.data.datasets import CaptionDataset
+    from infinite_video_tpu.data.loader import StatefulShardSampler
+    from infinite_video_tpu.data.processors import train_processor
+    from infinite_video_tpu.training.collate import collate_qformer_batch
+
+    if tiny:
+        from infinite_video_tpu.utils.testing import ToyTokenizer
+
+        tokenizer = ToyTokenizer(mcfg.qformer.vocab_size)
+    else:
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(
+            cfg.get("model", {}).get("tokenizer", "bert-base-uncased"))
+    max_txt_l = cfg.get("max_txt_l", 32)
+
+    corpora_cfg = cfg.get("corpora")
+    if corpora_cfg:
+        from infinite_video_tpu.data.corpora import build_corpus_loaders
+
+        return build_corpus_loaders(
+            corpora_cfg.get("names", []),
+            processor=train_processor(image_size=mcfg.vit.img_size),
+            tokenizer=tokenizer, num_frames=mcfg.vit.num_frames,
+            num_query_tokens=mcfg.num_query_token,
+            batch_size=corpora_cfg.get("batch_size", 1),
+            anno_root=corpora_cfg.get("anno_root", ""),
+            data_root=corpora_cfg.get("data_root", ""),
+            seed=epoch, stage="qformer")
+
+    loaders = {}
+    for name, dcfg in cfg.get("datasets", {}).items():
+        proc = train_processor(image_size=mcfg.vit.img_size)
+        ds = CaptionDataset(dcfg["ann_file"], dcfg["data_root"], proc,
+                            num_frames=mcfg.vit.num_frames)
+        bs = dcfg.get("batch_size", 1)
+        sampler = StatefulShardSampler(len(ds), bs, seed=epoch)
+
+        class _Loader:
+            def __init__(self, ds, sampler, bs):
+                self.ds, self.sampler, self.bs = ds, sampler, bs
+
+            def __len__(self):
+                return len(self.sampler) // self.bs
+
+            def __iter__(self):
+                batch = []
+                for i in self.sampler:
+                    frames, caption = self.ds[i][:2]
+                    batch.append((frames, caption, i))
+                    if len(batch) == self.bs:
+                        yield collate_qformer_batch(batch, tokenizer,
+                                                    max_txt_len=max_txt_l)
+                        batch = []
+
+        loaders[name] = _Loader(ds, sampler, bs)
+    return loaders
 
 
 def _build_it_loaders(cfg, mcfg, epoch, tiny=False, stage="it"):

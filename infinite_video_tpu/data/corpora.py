@@ -280,13 +280,14 @@ def build_corpus_loaders(names: Sequence[str], *, processor, tokenizer,
                          num_frames: int, num_query_tokens: int,
                          batch_size: int = 1, anno_root: str = "",
                          data_root: str = "", dialect: str = "mistral",
-                         seed: int = 0):
+                         seed: int = 0, stage: str = "it"):
     """Named corpora -> {name: loader} for MetaLoader interleaving.
 
     The runnable-recipe layer: a config may say
     `datasets: {mix: videochat2_instruction}` and training resolves every
     member corpus into a batched loader (instruction corpora) or caption
-    loader (pretrain corpora)."""
+    loader (pretrain corpora). stage="qformer" builds stage-1 contrastive
+    batches (collate_qformer_batch) from caption corpora instead."""
     from infinite_video_tpu.data.datasets import (CaptionDataset,
                                                   InstructionDataset)
     from infinite_video_tpu.data.loader import StatefulShardSampler
@@ -295,7 +296,11 @@ def build_corpus_loaders(names: Sequence[str], *, processor, tokenizer,
     loaders = {}
     for name in names:
         for corpus in resolve_corpus(name, anno_root, data_root):
-            if corpus.kind == "caption":
+            if corpus.kind == "caption" or stage == "qformer":
+                if stage == "qformer" and corpus.kind != "caption":
+                    raise ValueError(
+                        f"stage-1 pretrains on caption corpora; "
+                        f"{corpus.name!r} is kind={corpus.kind!r}")
                 ds = CaptionDataset(corpus.anno_file, corpus.data_root,
                                     processor, num_frames=num_frames)
             else:
@@ -305,16 +310,17 @@ def build_corpus_loaders(names: Sequence[str], *, processor, tokenizer,
             sampler = StatefulShardSampler(len(ds), batch_size, seed=seed)
             loaders[corpus.name] = _BatchLoader(
                 ds, sampler, batch_size, tokenizer, num_query_tokens,
-                collate_it_batch, dialect)
+                collate_it_batch, dialect, stage=stage)
     return loaders
 
 
 class _BatchLoader:
     def __init__(self, ds, sampler, bs, tokenizer, num_query_tokens, collate,
-                 dialect="mistral"):
+                 dialect="mistral", stage="it"):
         self.ds, self.sampler, self.bs = ds, sampler, bs
         self.tokenizer, self.q, self.collate = tokenizer, num_query_tokens, collate
         self.dialect = dialect
+        self.stage = stage
 
     def _normalize(self, sample):
         """Caption pairs become single-turn conversations (pt-stage prompt)."""
@@ -333,6 +339,17 @@ class _BatchLoader:
         return len(self.sampler) // self.bs
 
     def __iter__(self):
+        if self.stage == "qformer":
+            from infinite_video_tpu.training.collate import collate_qformer_batch
+
+            batch = []
+            for i in self.sampler:
+                frames, caption = self.ds[i][:2]
+                batch.append((frames, caption, i))
+                if len(batch) == self.bs:
+                    yield collate_qformer_batch(batch, self.tokenizer)
+                    batch = []
+            return
         batch = []
         for i in self.sampler:
             batch.append(self._normalize(self.ds[i]))

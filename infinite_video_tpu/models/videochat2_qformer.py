@@ -26,7 +26,8 @@ from infinite_video_tpu.models.qformer import QFormer, QFormerConfig, QFormerLMH
 from infinite_video_tpu.models.vit import ViTConfig, VisionTransformer
 from infinite_video_tpu.training import criterions
 
-__all__ = ["QFormerPretrainConfig", "VideoChat2QFormerPretrain"]
+__all__ = ["QFormerPretrainConfig", "VideoChat2QFormerPretrain",
+           "default_pretrain_config", "tiny_pretrain_config"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -41,8 +42,11 @@ class QFormerPretrainConfig:
     loss_vtc: float = 1.0
     loss_vtm: float = 1.0
     loss_mlm: float = 1.0
+    loss_cap: float = 0.0             # reference stage-1 uses cap=1.0, mlm=0.0
     mlm_prob: float = 0.15
     mask_token_id: int = 103          # bert-base [MASK]
+    bos_token_id: int = 30522         # the added "[DEC]" token (blip2.py:29)
+    pad_token_id: int = 0
 
 
 class VideoChat2QFormerPretrain(nn.Module):
@@ -137,5 +141,63 @@ class VideoChat2QFormerPretrain(nn.Module):
                 input_ids=masked_ids, attention_mask=mask, ltm_on=False)
             logits = self.lm_head(hidden[:, cfg.num_query_token:])
             losses["loss_mlm"] = cfg.loss_mlm * criterions.mlm_loss(logits, labels)
+        if cfg.loss_cap:
+            # Caption LM loss (videochat2_qformer.py:343-371): BOS-prefixed
+            # text decoded causally over the vision-conditioned query prefix.
+            # The reference feeds the vision pass's past_key_values; the joint
+            # causal_text pass is equivalent because query rows never attend
+            # to text (models/qformer.py mask), so their K/V equal the
+            # vision-only pass's.
+            assert cfg.bos_token_id < cfg.qformer.vocab_size, \
+                "bos_token_id outside the Q-former vocab"
+            cap_ids = text_ids.at[:, 0].set(cfg.bos_token_id)
+            labels = jnp.where(cap_ids == cfg.pad_token_id, -100, cap_ids)
+            b = vision_feats.shape[0]
+            q = jnp.tile(self.query_tokens, (b, 1, 1))
+            mask = jnp.concatenate(
+                [jnp.ones((b, q.shape[1]), jnp.float32),
+                 text_mask.astype(jnp.float32)], axis=1)
+            hidden, _ = self.qformer(
+                query_embeds=q, encoder_hidden_states=vision_feats,
+                input_ids=cap_ids, attention_mask=mask, ltm_on=False,
+                causal_text=True)
+            logits = self.lm_head(hidden[:, cfg.num_query_token:])
+            losses["loss_cap"] = cfg.loss_cap * criterions.cap_loss(logits, labels)
         losses["loss_total"] = sum(losses.values())
         return losses
+
+
+def default_pretrain_config(num_frames: int = 4,
+                            dtype=jnp.float32) -> QFormerPretrainConfig:
+    """Reference stage-1 geometry (scripts/videochat_vicuna/config_7b_stage1.py):
+    UMT-L with return_index=-2 (23 of 24 blocks kept, final LN), bert-base
+    Q-former with cross-attn every other layer, 32 query tokens, 768-wide
+    shared embedding space, loss weights vtc=1, vtm=1, cap=1, mlm=0."""
+    from infinite_video_tpu.models.vit import umt_vit_l_config
+
+    vit = umt_vit_l_config(num_frames=num_frames, depth=23, dtype=dtype)
+    qf = QFormerConfig(hidden_size=768, num_layers=12, num_heads=12,
+                       intermediate_size=3072, encoder_width=1024,
+                       cross_attention_freq=2, query_length=32,
+                       vocab_size=30523,  # bert-base + the added "[DEC]" bos
+                       alpha=1.0, ltm=None, dtype=dtype)
+    return QFormerPretrainConfig(
+        vit=vit, qformer=qf, num_query_token=32, embed_dim=768,
+        loss_vtc=1.0, loss_vtm=1.0, loss_mlm=0.0, loss_cap=1.0,
+        mask_token_id=103, bos_token_id=30522)
+
+
+def tiny_pretrain_config() -> QFormerPretrainConfig:
+    """Random tiny geometry for integration tests (--tiny launcher mode)."""
+    from infinite_video_tpu.models.vit import ViTConfig
+
+    vit = ViTConfig(img_size=32, patch_size=16, embed_dim=32, depth=1,
+                    num_heads=2, mlp_hidden=64, use_cls_token=False,
+                    pos_embed="sinusoid", num_frames=2, final_ln=True)
+    qf = QFormerConfig(hidden_size=32, num_layers=2, num_heads=2,
+                       intermediate_size=64, encoder_width=32,
+                       cross_attention_freq=2, query_length=4, vocab_size=64,
+                       alpha=1.0, ltm=None)
+    return QFormerPretrainConfig(vit=vit, qformer=qf, num_query_token=4,
+                                 embed_dim=16, loss_cap=1.0, loss_mlm=0.0,
+                                 mask_token_id=62, bos_token_id=63)

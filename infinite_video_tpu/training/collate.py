@@ -16,7 +16,8 @@ import numpy as np
 
 from infinite_video_tpu.data.datasets import tokenize_conversation
 
-__all__ = ["collate_it_batch", "collate_pt_batch", "VIDEO_PLACEHOLDER"]
+__all__ = ["collate_it_batch", "collate_pt_batch", "collate_qformer_batch",
+           "VIDEO_PLACEHOLDER"]
 
 VIDEO_PLACEHOLDER = "<Video></Video>"
 
@@ -131,3 +132,33 @@ def collate_pt_batch(
     ], axis=1)
     return {"pixels": np.stack(pixels), "pre_ids": pre, "post_ids": post,
             "labels": labels}
+
+
+def collate_qformer_batch(
+    samples: Sequence[Tuple],
+    tokenizer,
+    max_txt_len: int = 32,
+    pad_token_id: int = 0,
+) -> Dict[str, np.ndarray]:
+    """Stage-1 Q-former contrastive pretraining batch (train_qformer.py:
+    image/caption pairs tokenized by the BERT-side tokenizer, max_txt_l=32):
+    {pixels [B,T,H,W,C], text_ids, text_mask, idx}. `idx` carries the sample
+    identity so repeated captions become soft positives in the VTC/VTM
+    targets (criterions.py get_sim idx semantics).
+
+    samples: [(frames [T,H,W,3], caption), ...] or
+             [(frames, caption, idx), ...] — CaptionDataset output.
+    """
+    pixels, rows, idxs = [], [], []
+    for i, sample in enumerate(samples):
+        frames, caption = sample[0], sample[1]
+        pixels.append(frames)
+        ids = tokenizer(caption, add_special_tokens=True)["input_ids"]
+        rows.append(np.asarray(ids[:max_txt_len], np.int64))
+        idxs.append(sample[2] if len(sample) > 2 else i)
+    text_ids = _pad_rows(rows, pad_token_id)
+    text_mask = (text_ids != pad_token_id).astype(np.float32)
+    # a genuine pad id inside a caption (position 0 is CLS/BOS) stays visible
+    text_mask[:, 0] = 1.0
+    return {"pixels": np.stack(pixels), "text_ids": text_ids,
+            "text_mask": text_mask, "idx": np.asarray(idxs, np.int64)}

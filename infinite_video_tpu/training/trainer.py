@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
-__all__ = ["TrainState", "init_train_state", "make_train_step", "it_loss"]
+__all__ = ["TrainState", "init_train_state", "make_train_step",
+           "make_qformer_train_step", "it_loss"]
 
 
 class TrainState(NamedTuple):
@@ -167,5 +168,49 @@ def make_train_step(encoder, decoder, tx: optax.GradientTransformation,
         gnorm = optax.global_norm(grads)
         return TrainState(params, opt_state, state.step + 1), {
             "loss": loss, "grad_norm": gnorm}
+
+    return step
+
+
+def make_qformer_train_step(model, tx: optax.GradientTransformation,
+                            mesh=None, zero: bool = False) -> Callable:
+    """Stage-1 contrastive pretraining step (tasks/train_qformer.py analogue).
+
+    `model` is a VideoChat2QFormerPretrain; the batch is the
+    collate_qformer_batch dict {pixels, text_ids, text_mask, idx}. The
+    weighted VTC/VTM/MLM/cap losses come back as metrics alongside the
+    grad norm. Contrastive losses couple the whole batch, so there is no
+    gradient-accumulation variant (matching the reference, which runs
+    stage-1 under plain DDP with no accum_grad_iters). zero=True shards
+    the optimizer state over dp as in make_train_step — the stage-1 model
+    is ~300M params so this is rarely needed, but the path is uniform.
+    """
+    if zero and mesh is None:
+        raise ValueError("zero=True requires a mesh")
+    if zero:
+        from infinite_video_tpu.parallel.sharding import (DECODER_TP_RULES,
+                                                          tree_shardings,
+                                                          zero_shardings)
+
+    def step(state: TrainState, batch, rng):
+        def loss_fn(params):
+            losses = model.apply({"params": params}, batch["pixels"],
+                                 batch["text_ids"], batch["text_mask"],
+                                 idx=batch.get("idx"), rng=rng)
+            return losses["loss_total"], losses
+
+        (loss, losses), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        if zero:
+            opt_state = jax.lax.with_sharding_constraint(
+                opt_state, zero_shardings(opt_state, mesh, DECODER_TP_RULES))
+            updates = jax.lax.with_sharding_constraint(
+                updates, tree_shardings(updates, mesh, DECODER_TP_RULES))
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(losses)
+        metrics["loss"] = metrics.pop("loss_total")
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(params, opt_state, state.step + 1), metrics
 
     return step

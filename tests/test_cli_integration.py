@@ -222,3 +222,41 @@ datasets:
     train_cli.main(["--config", str(cfg), "--stage", "pt",
                     "--output-dir", out_dir, "--tiny"])
     assert any(d.startswith("ckpt_") for d in os.listdir(out_dir))
+
+
+def test_train_cli_qformer_stage_tiny(tmp_path):
+    """--stage qformer: stage-1 contrastive pretrain launcher end-to-end
+    (caption annotations -> collate_qformer_batch -> VTC/VTM/cap step)."""
+    cv2 = pytest.importorskip("cv2")
+    vids = tmp_path / "videos"
+    vids.mkdir()
+    for v in range(2):
+        w = cv2.VideoWriter(str(vids / f"v{v}.avi"),
+                            cv2.VideoWriter_fourcc(*"MJPG"), 5, (224, 224))
+        for i in range(4):
+            w.write(np.full((224, 224, 3), 40 * v + i, np.uint8))
+        w.release()
+    ann_file = tmp_path / "cap.json"
+    ann_file.write_text(json.dumps(
+        [{"video": "v0.avi", "caption": "a dark square"},
+         {"video": "v1.avi", "caption": "a bright square"}]))
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(f"""
+seed: 5
+max_epochs: 1
+criterion:
+  loss_weight: {{vtc: 1.0, mlm: 0.0, vtm: 1.0, cap: 1.0}}
+optimizer: {{lr: 1.0e-4, max_grad_norm: -1}}
+scheduler: {{warmup_steps: 1, total_steps: 4}}
+datasets:
+  cc_toy:
+    ann_file: {ann_file}
+    data_root: {vids}
+    batch_size: 2
+""")
+    from infinite_video_tpu.cli import train as train_cli
+
+    out_dir = str(tmp_path / "run_s1")
+    train_cli.main(["--config", str(cfg), "--stage", "qformer",
+                    "--output-dir", out_dir, "--tiny"])
+    assert any(d.startswith("ckpt_") for d in os.listdir(out_dir))

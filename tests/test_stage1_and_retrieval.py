@@ -38,6 +38,63 @@ def test_stage1_losses_finite_and_weighted():
         assert np.isfinite(float(v))
 
 
+def test_stage1_cap_loss_reference_weights():
+    """loss weights vtc=1, vtm=1, cap=1, mlm=0 (config_7b_stage1.py criterion
+    dict): cap replaces mlm, BOS-prefixed causal decode over query prefix."""
+    import dataclasses
+
+    cfg = dataclasses.replace(_tiny_cfg(), loss_mlm=0.0, loss_cap=1.0,
+                              bos_token_id=63, pad_token_id=0)
+    model = VideoChat2QFormerPretrain(cfg)
+    pixels = jax.random.normal(jax.random.PRNGKey(0), (4, 2, 32, 32, 3)) * 0.3
+    ids = jnp.asarray(np.random.default_rng(2).integers(3, 62, (4, 6)))
+    ids = ids.at[:, 4:].set(0)  # padded tail -> -100 labels
+    mask = (ids != 0).astype(jnp.float32)
+    params = model.init(jax.random.PRNGKey(1), pixels, ids, mask)["params"]
+    losses = model.apply({"params": params}, pixels, ids, mask,
+                         rng=jax.random.PRNGKey(2))
+    assert set(losses) == {"loss_vtc", "loss_vtm", "loss_cap", "loss_total"}
+    for v in losses.values():
+        assert np.isfinite(float(v))
+
+    # caption loss must flow gradients (trainable LM path)
+    def cap_only(p):
+        return model.apply({"params": p}, pixels, ids, mask,
+                           rng=jax.random.PRNGKey(2))["loss_cap"]
+
+    g = jax.grad(cap_only)(params)
+    gn = float(sum(jnp.abs(x).sum() for x in jax.tree_util.tree_leaves(g)))
+    assert np.isfinite(gn) and gn > 0
+
+
+def test_stage1_train_step():
+    """make_qformer_train_step: one optimizer step moves params, metrics
+    carry the per-loss breakdown."""
+    import optax
+
+    from infinite_video_tpu.training.trainer import (init_train_state,
+                                                     make_qformer_train_step)
+
+    cfg = _tiny_cfg()
+    model = VideoChat2QFormerPretrain(cfg)
+    pixels = jax.random.normal(jax.random.PRNGKey(0), (4, 2, 32, 32, 3)) * 0.3
+    ids = jnp.asarray(np.random.default_rng(0).integers(1, 62, (4, 6)))
+    mask = jnp.ones((4, 6))
+    params = model.init(jax.random.PRNGKey(1), pixels, ids, mask)["params"]
+    tx = optax.adam(1e-3)
+    state = init_train_state(params, tx)
+    step = jax.jit(make_qformer_train_step(model, tx))
+    batch = {"pixels": pixels, "text_ids": ids, "text_mask": mask,
+             "idx": jnp.arange(4)}
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(3))
+    assert int(new_state.step) == 1
+    assert {"loss", "loss_vtc", "loss_vtm", "loss_mlm", "grad_norm"} <= set(metrics)
+    assert np.isfinite(float(metrics["loss"]))
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).sum()), state.params, new_state.params)
+    assert sum(jax.tree_util.tree_leaves(moved)) > 0
+
+
 def test_stage1_gradable():
     cfg = _tiny_cfg()
     model = VideoChat2QFormerPretrain(cfg)
