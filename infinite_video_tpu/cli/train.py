@@ -19,7 +19,8 @@ import argparse
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", required=True)
-    p.add_argument("--stage", choices=["qformer", "pt", "it"], default="it")
+    p.add_argument("--stage", choices=["qformer", "pt", "it", "hd"],
+                   default="it")
     p.add_argument("--output-dir", required=True)
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--zero", action="store_true",
@@ -52,9 +53,11 @@ def main(argv=None):
     cfg = load_config(args.config, args.overrides)
     mesh = make_mesh(tp=args.tp)
 
-    if args.stage in ("it", "pt"):
+    if args.stage in ("it", "pt", "hd"):
         # pt = stage-2 vision-text pretraining (train_pt.py): caption corpora
         # with caption-only labels (collate_pt_batch); same sharded step.
+        # hd = stage-4 dynamic-resolution tuning (config_7b_hd_stage4.py):
+        # tiles-as-batch encode, padded tiles masked (hd_loss_parts).
         from infinite_video_tpu.models import videochat2 as vc2
         from infinite_video_tpu.models.decoder import Decoder
 
@@ -104,7 +107,8 @@ def main(argv=None):
             state = init_train_state(params, tx, mesh=mesh, zero=args.zero)
             step = jax.jit(make_train_step(encoder, decoder, tx, mesh=mesh,
                                            zero=args.zero,
-                                           accum_steps=args.accum_steps))
+                                           accum_steps=args.accum_steps,
+                                           hd=args.stage == "hd"))
 
             def make_loader(epoch, skip):
                 from infinite_video_tpu.data.loader import MetaLoader
@@ -274,6 +278,10 @@ def _build_it_loaders(cfg, mcfg, epoch, tiny=False, stage="it"):
 
     corpora_cfg = cfg.get("corpora")
     if corpora_cfg:
+        if stage == "hd":
+            raise SystemExit("--stage hd trains from explicit `datasets:` "
+                             "entries (HD corpora need original-aspect media "
+                             "paths, not the registry's processed tables)")
         from infinite_video_tpu.data.corpora import build_corpus_loaders
 
         return build_corpus_loaders(
@@ -297,6 +305,22 @@ def _build_it_loaders(cfg, mcfg, epoch, tiny=False, stage="it"):
                 return collate_pt_batch(batch, tokenizer,
                                         num_query_tokens=mcfg.total_query_tokens,
                                         prompt=_prompt)
+        elif stage == "hd":
+            from infinite_video_tpu.data.processors import hd_raw_processor
+            from infinite_video_tpu.training.collate import collate_hd_batch
+
+            ds = InstructionDataset(dcfg["ann_file"], dcfg["data_root"],
+                                    hd_raw_processor(),
+                                    num_frames=mcfg.vit.num_frames,
+                                    dialect=dcfg.get("dialect", "mistral"))
+
+            def collate(batch,
+                        _hd=cfg.get("model", {}).get("hd_num", 6),
+                        _size=mcfg.vit.img_size):
+                return collate_hd_batch(
+                    batch, tokenizer,
+                    num_query_tokens=mcfg.total_query_tokens,
+                    hd_num=_hd, image_size=_size)
         else:
             ds = InstructionDataset(dcfg["ann_file"], dcfg["data_root"], proc,
                                     num_frames=mcfg.vit.num_frames,

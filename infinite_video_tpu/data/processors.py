@@ -15,8 +15,8 @@ from typing import Optional, Tuple
 import numpy as np
 
 __all__ = ["CLIP_MEAN", "CLIP_STD", "IMAGENET_MEAN", "IMAGENET_STD",
-           "VideoProcessor", "eval_processor", "train_processor",
-           "normalization_for_encoder"]
+           "VideoProcessor", "RawProcessor", "eval_processor",
+           "train_processor", "hd_raw_processor", "normalization_for_encoder"]
 
 CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
 CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
@@ -111,6 +111,23 @@ def _register_processors():
 
 
 _register_processors()
+
+
+class RawProcessor:
+    """Identity-geometry processor for the HD path: uint8 → float01 only.
+    Resolution/aspect are preserved; the dynamic-resolution HD transform and
+    normalisation happen later in training/collate.py::collate_hd_batch
+    (matching the reference HD pipeline, dataset/hd_utils.py)."""
+
+    def __call__(self, frames: np.ndarray,
+                 rng: Optional[np.random.Generator] = None) -> np.ndarray:
+        if frames.dtype == np.uint8:
+            return frames.astype(np.float32) / 255.0
+        return frames.astype(np.float32)
+
+
+def hd_raw_processor() -> RawProcessor:
+    return RawProcessor()
 
 
 def train_processor(image_size: int = 224, mean=CLIP_MEAN, std=CLIP_STD,

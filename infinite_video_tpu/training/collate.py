@@ -17,7 +17,7 @@ import numpy as np
 from infinite_video_tpu.data.datasets import tokenize_conversation
 
 __all__ = ["collate_it_batch", "collate_pt_batch", "collate_qformer_batch",
-           "VIDEO_PLACEHOLDER"]
+           "collate_hd_batch", "VIDEO_PLACEHOLDER"]
 
 VIDEO_PLACEHOLDER = "<Video></Video>"
 
@@ -30,7 +30,7 @@ def _pad_rows(rows: List[np.ndarray], pad_value: int) -> np.ndarray:
     return out
 
 
-def collate_it_batch(
+def _collate_text_parts(
     samples: Sequence[Tuple],
     tokenizer,
     num_query_tokens: int,
@@ -38,12 +38,11 @@ def collate_it_batch(
     max_len: int = 512,
     pad_token_id: int = 0,
 ) -> Dict[str, np.ndarray]:
-    """samples: [(frames [T,H,W,3], conversation, instruction), ...] ->
-    {pixels, instruction_ids, instruction_mask, pre_ids, post_ids, labels}."""
+    """Shared IT text collation: conversation split at the video placeholder,
+    answer spans label-unmasked, label row [-100×pre][-100×video][post]."""
     qformer_tokenizer = qformer_tokenizer or tokenizer
-    pixels, pre_rows, post_rows, post_label_rows, instr_rows = [], [], [], [], []
-    for frames, conversation, instruction in samples:
-        pixels.append(frames)
+    pre_rows, post_rows, post_label_rows, instr_rows = [], [], [], []
+    for _frames, conversation, instruction in samples:
         if VIDEO_PLACEHOLDER in conversation:
             pre_text, post_text = conversation.split(VIDEO_PLACEHOLDER, 1)
         else:
@@ -75,13 +74,28 @@ def collate_it_batch(
         post_labels,
     ], axis=1)
     return {
-        "pixels": np.stack(pixels),
         "instruction_ids": instr,
         "instruction_mask": instr_mask,
         "pre_ids": pre,
         "post_ids": post,
         "labels": labels,
     }
+
+
+def collate_it_batch(
+    samples: Sequence[Tuple],
+    tokenizer,
+    num_query_tokens: int,
+    qformer_tokenizer=None,
+    max_len: int = 512,
+    pad_token_id: int = 0,
+) -> Dict[str, np.ndarray]:
+    """samples: [(frames [T,H,W,3], conversation, instruction), ...] ->
+    {pixels, instruction_ids, instruction_mask, pre_ids, post_ids, labels}."""
+    out = _collate_text_parts(samples, tokenizer, num_query_tokens,
+                              qformer_tokenizer, max_len, pad_token_id)
+    out["pixels"] = np.stack([s[0] for s in samples])
+    return out
 
 
 def collate_pt_batch(
@@ -162,3 +176,69 @@ def collate_qformer_batch(
     text_mask[:, 0] = 1.0
     return {"pixels": np.stack(pixels), "text_ids": text_ids,
             "text_mask": text_mask, "idx": np.asarray(idxs, np.int64)}
+
+
+def collate_hd_batch(
+    samples: Sequence[Tuple],
+    tokenizer,
+    num_query_tokens: int,
+    hd_num: int = 6,
+    image_size: int = 224,
+    add_global: bool = True,
+    use_padding: bool = True,
+    mean: Tuple = (0.48145466, 0.4578275, 0.40821073),
+    std: Tuple = (0.26862954, 0.26130258, 0.27577711),
+    qformer_tokenizer=None,
+    max_len: int = 512,
+    pad_token_id: int = 0,
+) -> Dict[str, np.ndarray]:
+    """HD stage-4 batch (videochat2_it_hd_mistral.py): each sample's frames
+    go through the dynamic-resolution HD transform (data/hd_utils.py), are
+    cut into 224px tiles (+ a global thumbnail), normalised, and padded to a
+    FIXED max_tiles = hd_num(+1) — the TPU static-shape choice; `tile_mask`
+    marks real tiles. The decoder sees max_tiles*Q video positions with
+    padded tiles masked out of attention and labels.
+
+    samples: [(frames [T, H, W, 3] uint8 or float01 at ORIGINAL aspect,
+               conversation, instruction), ...] — use a raw (non-resizing)
+    processor upstream.
+    """
+    from infinite_video_tpu.data.hd_utils import (_resize_bicubic,
+                                                  hd_transform_no_padding,
+                                                  hd_transform_padding)
+
+    max_tiles = hd_num + (1 if add_global else 0)
+    out = _collate_text_parts(samples, tokenizer, max_tiles * num_query_tokens,
+                              qformer_tokenizer, max_len, pad_token_id)
+
+    mean_a = np.asarray(mean, np.float32)
+    std_a = np.asarray(std, np.float32)
+    s = image_size
+    pixel_rows, mask_rows = [], []
+    for frames, _conv, _instr in samples:
+        f = frames.astype(np.float32)
+        if frames.dtype == np.uint8:
+            f = f / 255.0
+        hd = (hd_transform_padding(f, s, hd_num) if use_padding
+              else hd_transform_no_padding(f, s, hd_num))
+        t, h, w, c = hd.shape
+        gh, gw = h // s, w // s
+        tiles = hd.reshape(t, gh, s, gw, s, c).transpose(1, 3, 0, 2, 4, 5)
+        tiles = tiles.reshape(gh * gw, t, s, s, c)      # [n_local, T, s, s, C]
+        if add_global:
+            thumb = _resize_bicubic(hd, s, s)[None]     # [1, T, s, s, C]
+            tiles = np.concatenate([tiles, thumb], axis=0)
+        n = tiles.shape[0]
+        assert n <= max_tiles, (n, max_tiles)
+        tiles = ((tiles - mean_a) / std_a).astype(np.float32)
+        padded = np.zeros((max_tiles, t, s, s, c), np.float32)
+        padded[:n] = tiles
+        pixel_rows.append(padded)
+        mask_rows.append([1.0] * n + [0.0] * (max_tiles - n))
+
+    out["pixels"] = np.stack(pixel_rows)                # [B, M, T, s, s, C]
+    out["tile_mask"] = np.asarray(mask_rows, np.float32)
+    out["pre_mask"] = (out["pre_ids"] != pad_token_id).astype(np.float32)
+    out["pre_mask"][:, 0] = 1.0                         # BOS may equal pad id
+    out["post_mask"] = (out["post_ids"] != pad_token_id).astype(np.float32)
+    return out

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import optax
 
 __all__ = ["TrainState", "init_train_state", "make_train_step",
-           "make_qformer_train_step", "it_loss"]
+           "make_qformer_train_step", "it_loss", "hd_loss_parts"]
 
 
 class TrainState(NamedTuple):
@@ -69,6 +69,55 @@ def it_loss_parts(encoder, decoder, params, batch, rng, ltm_on: bool = True):
     return (ll * mask).sum(), mask.sum()
 
 
+def hd_loss_parts(encoder, decoder, params, batch, rng, ltm_on: bool = True):
+    """HD stage-4 loss parts (videochat2_it_hd_mistral.py:258+): every 224px
+    tile is an independent batch element through the ViT/Q-former (per-tile
+    LTM memories, as in VideoChat2Encoder.encode_hd), the per-tile query
+    outputs concatenate into max_tiles*Q video positions, and padded tiles
+    are excluded from decoder attention (and already -100 in labels).
+
+    batch adds to the it_loss format: pixels [B, M, T, H, W, C],
+    tile_mask [B, M], pre_mask/post_mask (right-padding masks)."""
+    from infinite_video_tpu.models.qformer import init_ltm_states
+
+    enc_params, dec_params = params["encoder"], params["decoder"]
+    px = batch["pixels"]
+    b, m = px.shape[:2]
+    flat = px.reshape((b * m,) + px.shape[2:])
+    states = init_ltm_states(encoder.cfg.qformer, b * m) if ltm_on else ()
+    instr = batch.get("instruction_ids")
+    instr_mask = batch.get("instruction_mask")
+    if instr is not None:
+        instr = jnp.repeat(instr, m, axis=0)
+        if instr_mask is not None:
+            instr_mask = jnp.repeat(instr_mask, m, axis=0)
+    emb, _ = encoder.apply(
+        {"params": enc_params}, flat, states, instruction_ids=instr,
+        instruction_mask=instr_mask, ltm_rng=rng, ltm_on=ltm_on)  # [B*M, Q, D]
+    q = emb.shape[1]
+    video = emb.reshape(b, m * q, emb.shape[-1])
+    video_mask = jnp.repeat(batch["tile_mask"], q, axis=1)        # [B, M*Q]
+    video = video * video_mask[:, :, None].astype(video.dtype)
+
+    pre = decoder.apply({"params": dec_params}, input_ids=batch["pre_ids"],
+                        embed_only=True)
+    post = decoder.apply({"params": dec_params}, input_ids=batch["post_ids"],
+                         embed_only=True)
+    inputs = jnp.concatenate([pre, video.astype(pre.dtype), post], axis=1)
+    attn = jnp.concatenate([batch["pre_mask"], video_mask,
+                            batch["post_mask"]], axis=1)
+
+    logits, _ = decoder.apply({"params": dec_params}, inputs_embeds=inputs,
+                              attention_mask=attn)
+    labels = batch["labels"]
+    shift_logits = logits[:, :-1]
+    shift_labels = labels[:, 1:]
+    mask = (shift_labels != -100).astype(jnp.float32)
+    safe = jnp.where(shift_labels == -100, 0, shift_labels)
+    ll = optax.softmax_cross_entropy_with_integer_labels(shift_logits, safe)
+    return (ll * mask).sum(), mask.sum()
+
+
 def it_loss(encoder, decoder, params, batch, rng, ltm_on: bool = True):
     """Instruction-tuning LM loss.
 
@@ -99,7 +148,8 @@ def init_train_state(params, tx: optax.GradientTransformation,
 
 def make_train_step(encoder, decoder, tx: optax.GradientTransformation,
                     ltm_on: bool = True, mesh=None, zero: bool = False,
-                    rules=None, accum_steps: int = 1) -> Callable:
+                    rules=None, accum_steps: int = 1,
+                    hd: bool = False) -> Callable:
     """Returns `step(state, batch, rng) -> (state, metrics)`, jit-able under a
     mesh with dp-sharded batches.
 
@@ -125,10 +175,11 @@ def make_train_step(encoder, decoder, tx: optax.GradientTransformation,
                                                           tree_shardings,
                                                           zero_shardings)
         rules = rules or DECODER_TP_RULES
+    loss_parts = hd_loss_parts if hd else it_loss_parts
 
     def accumulate(params, batch, rng):
         def parts_fn(p, mb, key):
-            return it_loss_parts(encoder, decoder, p, mb, key, ltm_on)
+            return loss_parts(encoder, decoder, p, mb, key, ltm_on)
 
         micro = jax.tree_util.tree_map(
             lambda x: x.reshape((accum_steps, x.shape[0] // accum_steps)
@@ -153,7 +204,9 @@ def make_train_step(encoder, decoder, tx: optax.GradientTransformation,
     def step(state: TrainState, batch, rng):
         if accum_steps == 1:
             def loss_fn(params):
-                return it_loss(encoder, decoder, params, batch, rng, ltm_on)
+                total, count = loss_parts(encoder, decoder, params, batch,
+                                          rng, ltm_on)
+                return total / jnp.maximum(count, 1.0)
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
         else:

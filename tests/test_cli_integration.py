@@ -260,3 +260,42 @@ datasets:
     train_cli.main(["--config", str(cfg), "--stage", "qformer",
                     "--output-dir", out_dir, "--tiny"])
     assert any(d.startswith("ckpt_") for d in os.listdir(out_dir))
+
+
+def test_train_cli_hd_stage_tiny(tmp_path):
+    """--stage hd: stage-4 dynamic-resolution tuning launcher end-to-end
+    (original-aspect video -> HD tiles -> masked hd train step)."""
+    cv2 = pytest.importorskip("cv2")
+    vids = tmp_path / "videos"
+    vids.mkdir()
+    w = cv2.VideoWriter(str(vids / "wide.avi"),
+                        cv2.VideoWriter_fourcc(*"MJPG"), 5, (640, 360))
+    for i in range(4):
+        w.write(np.full((360, 640, 3), 60 + i, np.uint8))
+    w.release()
+    ann_file = tmp_path / "ann.json"
+    ann_file.write_text(json.dumps(
+        [{"video": "wide.avi",
+          "qa": [{"i": "watch", "q": "shape?", "a": "wide gray"}]}]))
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(f"""
+seed: 6
+max_epochs: 1
+model:
+  num_frames: 2
+  hd_num: 4
+optimizer: {{lr: 1.0e-4}}
+scheduler: {{warmup_steps: 1, total_steps: 4}}
+datasets:
+  hd_toy:
+    ann_file: {ann_file}
+    data_root: {vids}
+    batch_size: 1
+    dialect: mistral
+""")
+    from infinite_video_tpu.cli import train as train_cli
+
+    out_dir = str(tmp_path / "run_hd")
+    train_cli.main(["--config", str(cfg), "--stage", "hd",
+                    "--output-dir", out_dir, "--tiny"])
+    assert any(d.startswith("ckpt_") for d in os.listdir(out_dir))
