@@ -43,9 +43,12 @@ NUM_BASIS = 256
 TOKENS_PER_FRAME = 32
 STICKY = True
 ON_TPU = _jax.default_backend() == "tpu"
-# Fused Pallas integral kernel (ops/pallas/ltm_fused.py): measured 60 vs 72
-# us/chunk against the XLA path on v5e.
-USE_PALLAS = ON_TPU
+# Fused Pallas integral kernel (ops/pallas/ltm_fused.py): under honest
+# chain timing the XLA path wins at this geometry (105 vs 112 us full chunk
+# step on v5e) — the kernel pads head_dim 64->128, doubling its kpsi FLOPs,
+# and the fp32 step is compute-bound (see docs/KERNELS.md). Round-1's
+# "60 vs 72 us" was flattered by the remote-relay result cache.
+USE_PALLAS = False
 
 
 _FLOOR = None

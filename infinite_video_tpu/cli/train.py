@@ -61,18 +61,32 @@ def main(argv=None):
         from infinite_video_tpu.models import videochat2 as vc2
         from infinite_video_tpu.models.decoder import Decoder
 
+        family = cfg.model.get("llm_family", "mistral")
         if args.tiny:
             mcfg = vc2.tiny_config(chunk_len=cfg.model.get("num_frames", 2))
         else:
-            mcfg = vc2.default_config(
+            kw = dict(
                 chunk_len=cfg.model.get("num_frames", 16),
                 num_basis=cfg.model.get("num_basis", 64),
                 tau=cfg.model.get("tau", 0.75),
                 alpha=cfg.model.get("alpha", 0.75),
                 sticky=cfg.model.get("sticky", True),
                 num_frames=cfg.model.get("num_frames", 16))
+            # per-LLM wrappers (videochat_{mistra,vicuna,phi}/*): same encoder
+            # stack, decoder swapped by family
+            if family == "vicuna":
+                mcfg = vc2.vicuna_config(**kw)
+            elif family == "phi":
+                mcfg, phi_cfg = vc2.phi_config(**kw)
+            else:
+                mcfg = vc2.default_config(**kw)
         encoder = vc2.VideoChat2Encoder(mcfg)
-        decoder = Decoder(mcfg.decoder)
+        if family == "phi" and not args.tiny:
+            from infinite_video_tpu.models.phi import PhiDecoder
+
+            decoder = PhiDecoder(phi_cfg)
+        else:
+            decoder = Decoder(mcfg.decoder)
 
         rng = jax.random.PRNGKey(cfg.get("seed", 42))
         t = mcfg.vit.num_frames

@@ -60,12 +60,12 @@ def default_config(chunk_len: int = 256, num_basis: int = 256, tau: float = 0.75
                    dtype=jnp.bfloat16, fast_math: bool = False) -> InfVideoLLaMAConfig:
     """README.md:39 NExT-QA recipe geometry; LTM params from infinityqa.py:37-55.
     fast_math: bf16-MXU LTM serving mode (2.1x, ~6e-3 rel err; ops/ltm.py)."""
-    import jax as _jax
-
     ltm = LTMConfig(num_basis=num_basis, chunk_len=chunk_len, tokens_per_frame=32,
                     feature_dim=768, hidden_size=768, num_heads=12, tau=tau,
                     sticky=sticky, fast_math=fast_math,
-                    use_pallas=(not fast_math) and _jax.default_backend() == "tpu")
+                    # XLA wins the fp32 integral chain under honest chain
+                    # timing (docs/KERNELS.md) — keep the Pallas kernel opt-in.
+                    use_pallas=False)
     return InfVideoLLaMAConfig(
         vit=eva_vit_g_config(dtype=dtype),
         # Frame-level Q-former: stock BLIP-2, LTM nulled (blip2.py:48-66).

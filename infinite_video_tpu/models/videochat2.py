@@ -49,12 +49,12 @@ def default_config(chunk_len: int = 16, num_basis: int = 64, tau: float = 0.75,
                    dtype=jnp.bfloat16, fast_math: bool = False) -> VideoChat2Config:
     """README.md:60 NExT-QA recipe; model geometry configs/config_mistral.json.
     fast_math: bf16-MXU LTM serving mode (2.1x, ~6e-3 rel err; ops/ltm.py)."""
-    import jax as _jax
-
     ltm = LTMConfig(num_basis=num_basis, chunk_len=chunk_len,
                     tokens_per_frame=196, feature_dim=1024, hidden_size=768,
                     num_heads=12, tau=tau, sticky=sticky, fast_math=fast_math,
-                    use_pallas=(not fast_math) and _jax.default_backend() == "tpu")
+                    # XLA wins the fp32 integral chain under honest chain
+                    # timing (docs/KERNELS.md) — keep the Pallas kernel opt-in.
+                    use_pallas=False)
     return VideoChat2Config(
         vit=umt_vit_l_config(num_frames=num_frames, dtype=dtype),
         qformer=QFormerConfig(num_layers=12, cross_attention_freq=2,

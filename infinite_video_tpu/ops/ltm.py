@@ -192,6 +192,50 @@ def _sticky_resample(
     return jax.vmap(psi.evaluate)(ts)                           # [batch, S, N]
 
 
+def _gather_exact(cfg: LTMConfig) -> bool:
+    """The gather fast path is bit-exact iff every grid value and bin edge is
+    fp32-exact, i.e. num_basis and num_sticky_bins are powers of two (always
+    true for the reference recipes: N ∈ {64, 256}, 128 sticky bins). Otherwise
+    ⌊t·N⌋ can disagree with the fp32 lo/hi comparisons of ψ.evaluate at bin
+    boundaries, so we fall back to the one-hot einsum."""
+    def pow2(x):
+        return x > 0 and (x & (x - 1)) == 0
+
+    return (cfg.basis == "rectangular" and pow2(cfg.num_basis)
+            and pow2(cfg.num_sticky_bins))
+
+
+def _sticky_resample_gather(
+    cfg: LTMConfig, state: LTMState, key: jax.Array,
+    bins_override: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """xm_τ = B_pastᵀ·ψ(t_s) without materialising ψ.
+
+    For the rectangular basis ψ(t) is one-hot (bin ⌊t·N⌋, zero at t ≥ 1.0 —
+    the half-open top bin), so the einsum against ψ(t_s) is exactly a row
+    gather of B. Bit-identical to the one-hot path (tested; see
+    _gather_exact) and removes a [S, N] one-hot build + a [N,e]×[S,N]
+    contraction from the chunk step. Returns xm_τ: [batch, e, S].
+    """
+    edges = jnp.asarray(
+        np.linspace(0.0, 1.0, cfg.num_sticky_bins + 1, dtype=np.float32)
+    )
+    if bins_override is not None:
+        bins = bins_override                                    # [batch, S]
+    else:
+        logits = jnp.log(jnp.clip(state.sticky_mass, 1e-30, None))
+        bins = jax.random.categorical(
+            key, logits[:, None, :], axis=-1,
+            shape=(logits.shape[0], cfg.nb_samples),
+        )
+    ts = edges[bins]                                            # [batch, S]
+    idx = jnp.clip((ts * cfg.num_basis).astype(jnp.int32), 0,
+                   cfg.num_basis - 1)
+    rows = jnp.take_along_axis(state.B, idx[..., None], axis=1)  # [b, S, e]
+    rows = jnp.where((ts < 1.0)[..., None], rows, 0.0)           # ψ(1.0) = 0
+    return jnp.swapaxes(rows, 1, 2)                              # [b, e, S]
+
+
 def consolidate(
     cfg: LTMConfig,
     state: LTMState,
@@ -219,7 +263,9 @@ def consolidate(
         return B
 
     def update(key):
-        if cfg.sticky:
+        if cfg.sticky and _gather_exact(cfg):
+            xm_tau = _sticky_resample_gather(cfg, state, key, sticky_bins)
+        elif cfg.sticky:
             samples = _sticky_resample(cfg, state, key, sticky_bins)  # [batch, S, N]
             xm_tau = jnp.einsum("bne,bsn->bes", state.B, samples, precision=prec)
         else:

@@ -152,3 +152,51 @@ def test_fast_math_flag_plumbs_and_stays_close():
                                         jnp.asarray(d["k0"]), q)
         outs.append(np.asarray(ctx))
     np.testing.assert_allclose(outs[0], outs[1], rtol=1e-6, atol=1e-7)
+
+
+def test_sticky_gather_fast_path_bit_exact():
+    """xm_tau via row-gather == via the one-hot einsum, bitwise, at both
+    recipe geometries (the one-hot sum adds exact zeros, and every grid
+    value is fp32-exact for power-of-two N / sticky bins)."""
+    import jax
+
+    from infinite_video_tpu.ops import ltm as ltm_mod
+
+    for n, ch in ((256, 8), (64, 16)):
+        cfg = ltm_mod.LTMConfig(num_basis=n, chunk_len=ch, sticky=True)
+        assert ltm_mod._gather_exact(cfg)
+        rng = np.random.default_rng(n)
+        state = ltm_mod.LTMState(
+            B=jnp.asarray(rng.normal(size=(2, n, cfg.feature_dim)),
+                          jnp.float32),
+            sticky_mass=jnp.asarray(
+                rng.random((2, cfg.num_sticky_bins - 1)) + 0.01, jnp.float32),
+            step=jnp.ones((), jnp.int32))
+        state = state.replace(
+            sticky_mass=state.sticky_mass
+            / state.sticky_mass.sum(-1, keepdims=True))
+        key = jax.random.PRNGKey(7)
+        fast = ltm_mod._sticky_resample_gather(cfg, state, key)
+        samples = ltm_mod._sticky_resample(cfg, state, key)
+        slow = jnp.einsum("bne,bsn->bes", state.B, samples,
+                          precision=ltm_mod._PREC)
+        assert fast.shape == slow.shape == (2, cfg.feature_dim, cfg.nb_samples)
+        np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
+
+
+def test_sticky_gather_gate_falls_back_on_non_pow2():
+    from infinite_video_tpu.ops import ltm as ltm_mod
+
+    cfg = ltm_mod.LTMConfig(num_basis=96, chunk_len=8, sticky=True)
+    assert not ltm_mod._gather_exact(cfg)
+    # consolidate still runs through the one-hot path
+    import jax
+
+    state = ltm_mod.init_state(cfg, 1)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(1, cfg.feature_dim, 8)), jnp.float32)
+    B1 = ltm_mod.consolidate(cfg, state, x, jax.random.PRNGKey(0))
+    state2 = ltm_mod.LTMState(B=B1, sticky_mass=state.sticky_mass,
+                              step=jnp.ones((), jnp.int32))
+    B2 = ltm_mod.consolidate(cfg, state2, x, jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(B2)).all()
