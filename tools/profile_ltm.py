@@ -1,4 +1,10 @@
-"""Ablate the LTM chunk step: which part owns the microseconds?"""
+"""Ablate the LTM chunk step on real hardware: which part owns the microseconds?
+
+Run from the repo root on a TPU runtime: `python tools/profile_ltm.py`.
+Each mode times one jitted lax.scan whose body is a prefix of the chunk step
+(dependency-chain methodology, see bench.py). Used for the round-2 honest
+kernel verdict recorded in docs/KERNELS.md; keep for future perf work.
+"""
 import time
 from functools import partial
 import jax, jax.numpy as jnp
