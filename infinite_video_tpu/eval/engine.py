@@ -25,7 +25,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from infinite_video_tpu.runtime.generation import GenerationConfig, generate
+from infinite_video_tpu.runtime.generation import (GenerationConfig, generate,
+                                                   host_embed_table,
+                                                   interleave_prompt_embeds)
 from infinite_video_tpu.runtime.streaming import stream_mean_embedding
 
 __all__ = ["LLaMAVideoQA", "MistralVideoQA"]
@@ -45,7 +47,11 @@ class LLaMAVideoQA:
     protocol = "llama"
 
     def __init__(self, encoder, enc_params, decoder, dec_params, tokenizer,
-                 init_states: Callable):
+                 init_states: Callable, pad_to_multiple: int = 128):
+        # pad_to_multiple: prompt-length bucketing — one prefill/decode
+        # executable per 128-token bucket instead of one per question
+        # (remote TPU compiles cost seconds-to-minutes each)
+        self.pad_to_multiple = pad_to_multiple
         self.encoder = encoder
         self.enc_params = enc_params
         self.decoder = decoder
@@ -73,15 +79,7 @@ class LLaMAVideoQA:
                             rng if rng is not None else jax.random.PRNGKey(0))
 
     def _embed_segments(self, segments: Sequence[str], video_embs):
-        segs = []
-        for i, seg in enumerate(segments):
-            ids = self.tokenizer(seg, add_special_tokens=(i == 0))["input_ids"]
-            segs.append(self.decoder.apply({"params": self.dec_params},
-                                           input_ids=jnp.asarray([ids], jnp.int32),
-                                           embed_only=True))
-        mixed = [e for pair in zip(segs[:-1], video_embs) for e in pair]
-        mixed.append(segs[-1])
-        return jnp.concatenate(mixed, axis=1)
+        return _embed_segments_generic(self, segments, video_embs)
 
     def answer(self, video_emb, input_text: str, *, max_new_tokens: int = 300,
                do_sample: bool = True, temperature: float = 1.0,
@@ -93,7 +91,8 @@ class LLaMAVideoQA:
         gcfg = GenerationConfig(max_new_tokens=max_new_tokens, do_sample=do_sample,
                                 temperature=temperature, top_p=top_p,
                                 eos_token_id=2, pad_token_id=2,
-                                stop_sequences=((835,), (2277, 29937)))
+                                stop_sequences=((835,), (2277, 29937)),
+                                pad_to_multiple=getattr(self, "pad_to_multiple", 0))
         tokens = generate(self.decoder, self.dec_params, gcfg, prompt_embeds=embs,
                           rng=rng)
         return _postprocess(self.tokenizer, tokens, split="###",
@@ -104,7 +103,9 @@ class MistralVideoQA:
     protocol = "mistral"  # see LLaMAVideoQA.protocol
 
     def __init__(self, encoder, enc_params, decoder, dec_params, tokenizer,
-                 init_states: Callable, qformer_tokenizer=None):
+                 init_states: Callable, qformer_tokenizer=None,
+                 pad_to_multiple: int = 128):
+        self.pad_to_multiple = pad_to_multiple  # see LLaMAVideoQA
         self.encoder = encoder
         self.enc_params = enc_params
         self.decoder = decoder
@@ -153,11 +154,11 @@ class MistralVideoQA:
         prompt = (f"{system}[INST] <Video><VideoHere></Video> [/INST] "
                   f"[INST] {question}{question_prompt} [/INST] {answer_prompt}")
         segs = prompt.split("<VideoHere>")
-        embs = _embed_segments_generic(self.decoder, self.dec_params,
-                                       self.tokenizer, segs, [video_emb])
+        embs = _embed_segments_generic(self, segs, [video_emb])
         gcfg = GenerationConfig(max_new_tokens=max_new_tokens, do_sample=do_sample,
                                 eos_token_id=2, pad_token_id=2,
-                                stop_sequences=((2,), (29871, 2)))
+                                stop_sequences=((2,), (29871, 2)),
+                                pad_to_multiple=getattr(self, "pad_to_multiple", 0))
         tokens = generate(self.decoder, self.dec_params, gcfg, prompt_embeds=embs,
                           rng=rng)
         text = _postprocess(self.tokenizer, tokens, split="</s>")
@@ -182,23 +183,25 @@ def _answer_batch(engine, video_embs, questions, *, system="",
     for i, q in enumerate(questions):
         prompt = (f"{system}[INST] <Video><VideoHere></Video> [/INST] "
                   f"[INST] {q}{question_prompt} [/INST] {answer_prompt}")
-        e = _embed_segments_generic(engine.decoder, engine.dec_params,
-                                    engine.tokenizer,
-                                    prompt.split("<VideoHere>"),
+        e = _embed_segments_generic(engine, prompt.split("<VideoHere>"),
                                     [video_embs[i:i + 1]])
         embs.append(e)
     width = max(e.shape[1] for e in embs)
     batch, mask = [], []
-    for e in embs:
+    for e in embs:  # host-side left padding (embs are numpy already)
         pad = width - e.shape[1]
-        batch.append(jnp.pad(e, ((0, 0), (pad, 0), (0, 0))))
-        mask.append(jnp.pad(jnp.ones((1, e.shape[1])), ((0, 0), (pad, 0))))
+        batch.append(np.pad(np.asarray(e, np.float32),
+                            ((0, 0), (pad, 0), (0, 0))))
+        mask.append(np.pad(np.ones((1, e.shape[1]), np.float32),
+                           ((0, 0), (pad, 0))))
     gcfg = GenerationConfig(max_new_tokens=max_new_tokens, do_sample=do_sample,
                             eos_token_id=2, pad_token_id=2,
-                            stop_sequences=((2,), (29871, 2)))
+                            stop_sequences=((2,), (29871, 2)),
+                            pad_to_multiple=getattr(engine, "pad_to_multiple", 0))
     tokens = generate(engine.decoder, engine.dec_params, gcfg,
-                      prompt_embeds=jnp.concatenate(batch, 0),
-                      prompt_mask=jnp.concatenate(mask, 0), rng=rng)
+                      prompt_embeds=jnp.asarray(np.concatenate(batch, 0)),
+                      prompt_mask=jnp.asarray(np.concatenate(mask, 0)),
+                      rng=rng)
     outs = []
     for i in range(len(questions)):
         text = _postprocess(engine.tokenizer, tokens[i:i + 1], split="</s>")
@@ -206,16 +209,16 @@ def _answer_batch(engine, video_embs, questions, *, system="",
     return outs
 
 
-def _embed_segments_generic(decoder, params, tokenizer, segments, video_embs):
-    segs = []
-    for i, seg in enumerate(segments):
-        ids = tokenizer(seg, add_special_tokens=(i == 0))["input_ids"]
-        segs.append(decoder.apply({"params": params},
-                                  input_ids=jnp.asarray([ids], jnp.int32),
-                                  embed_only=True))
-    mixed = [e for pair in zip(segs[:-1], video_embs) for e in pair]
-    mixed.append(segs[-1])
-    return jnp.concatenate(mixed, axis=1)
+def _embed_segments_generic(engine, segments, video_embs):
+    """Host-side prompt assembly: the token embedding is a pure gather, so a
+    cached host table avoids one remote compile per distinct segment-length
+    combination (runtime/generation.py::interleave_prompt_embeds)."""
+    table = getattr(engine, "_embed_table_cache", None)
+    if table is None:
+        table = host_embed_table(engine.dec_params)
+        engine._embed_table_cache = table
+    return interleave_prompt_embeds(table, engine.tokenizer, segments,
+                                    video_embs)
 
 
 def _postprocess(tokenizer, tokens, split: str, role_tag: Optional[str] = None,

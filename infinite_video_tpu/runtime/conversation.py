@@ -20,7 +20,9 @@ from typing import Any, Callable, List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from infinite_video_tpu.runtime.generation import GenerationConfig, generate
+from infinite_video_tpu.runtime.generation import (GenerationConfig, generate,
+                                                   host_embed_table,
+                                                   interleave_prompt_embeds)
 
 __all__ = ["SeparatorStyle", "Conversation", "CONV_VISION",
            "default_conversation", "mistral_conversation", "Chat"]
@@ -105,7 +107,11 @@ class Chat:
 
     def __init__(self, encode_video: Callable, decoder, decoder_params,
                  tokenizer, stop_sequences=LLAMA_STOP_SEQUENCES,
-                 image_placeholder: str = "<ImageHere>"):
+                 image_placeholder: str = "<ImageHere>",
+                 pad_to_multiple: int = 128):
+        # prompt-length bucketing: reuse prefill/decode executables across
+        # turns of different lengths (see runtime/generation.py)
+        self.pad_to_multiple = pad_to_multiple
         self.encode_video = encode_video
         self.decoder = decoder
         self.decoder_params = decoder_params
@@ -136,17 +142,14 @@ class Chat:
         (conversation_video.py:265-279)."""
         prompt = conv.get_prompt()
         segs = prompt.split(self.placeholder)
-        assert len(segs) == len(img_list) + 1, \
-            "Unmatched numbers of image placeholders and images."
-        seg_embs = []
-        for i, seg in enumerate(segs):
-            ids = self.tokenizer(seg, add_special_tokens=(i == 0))["input_ids"]
-            ids = jnp.asarray([ids], jnp.int32)
-            seg_embs.append(self.decoder.apply({"params": self.decoder_params},
-                                               input_ids=ids, embed_only=True))
-        mixed = [e for pair in zip(seg_embs[:-1], img_list) for e in pair]
-        mixed.append(seg_embs[-1])
-        return jnp.concatenate(mixed, axis=1)
+        # host-side gather + splice: no per-length device compiles
+        # (runtime/generation.py::interleave_prompt_embeds)
+        table = getattr(self, "_embed_table_cache", None)
+        if table is None:
+            table = host_embed_table(self.decoder_params)
+            self._embed_table_cache = table
+        return jnp.asarray(interleave_prompt_embeds(
+            table, self.tokenizer, segs, list(img_list)))
 
     def answer(self, conv: Conversation, img_list: Sequence, *,
                max_new_tokens: int = 300, do_sample: bool = True,
@@ -161,7 +164,8 @@ class Chat:
         gcfg = GenerationConfig(max_new_tokens=max_new_tokens, do_sample=do_sample,
                                 temperature=temperature, top_p=top_p,
                                 eos_token_id=eos, pad_token_id=eos,
-                                stop_sequences=self.stop_sequences)
+                                stop_sequences=self.stop_sequences,
+                                pad_to_multiple=self.pad_to_multiple)
         tokens = generate(self.decoder, self.decoder_params, gcfg,
                           prompt_embeds=embs, rng=rng)
         ids = [int(t) for t in tokens[0]]

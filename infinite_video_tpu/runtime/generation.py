@@ -15,10 +15,44 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from infinite_video_tpu.models.decoder import Decoder, DecoderConfig, KVCache, init_kv_cache
 
-__all__ = ["GenerationConfig", "generate"]
+__all__ = ["GenerationConfig", "generate", "host_embed_table",
+           "interleave_prompt_embeds"]
+
+
+def host_embed_table(dec_params) -> "np.ndarray":
+    """Pull the token-embedding table to host once (cache it!).
+
+    Prompt assembly interleaves tokenizer segments of arbitrary length with
+    video embeddings; doing the gather/concat as device ops costs one remote
+    compile per distinct segment-length combination (seconds each on a
+    tunneled TPU). The embedding is a pure gather, so the host does it for
+    free — see interleave_prompt_embeds."""
+    return np.asarray(dec_params["embed_tokens"]["embedding"])
+
+
+def interleave_prompt_embeds(table, tokenizer, segments, video_embs,
+                             add_special_first: bool = True):
+    """[seg0] v0 [seg1] v1 … [segN] -> [1, S, D] float32 numpy (host-side).
+
+    `table`: host embedding table (host_embed_table); `video_embs`: list of
+    [1, Q, D] arrays (device or host). Mirrors the reference's
+    get_context_emb splice (conversation_video.py:265-279)."""
+    assert len(segments) == len(video_embs) + 1, \
+        "Unmatched numbers of placeholders and video embeddings."
+    parts = []
+    for i, seg in enumerate(segments):
+        ids = tokenizer(seg,
+                        add_special_tokens=(add_special_first and i == 0))[
+                            "input_ids"]
+        parts.append(np.asarray(table[np.asarray(ids, np.int32)],
+                                np.float32)[None])
+        if i < len(video_embs):
+            parts.append(np.asarray(video_embs[i], np.float32))
+    return np.concatenate(parts, axis=1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -34,6 +68,11 @@ class GenerationConfig:
     # Stop sequences as token-id tuples; reference uses "###" ids
     # (conversation_video.py:142-144).
     stop_sequences: Tuple[Tuple[int, ...], ...] = ()
+    # Length bucketing: LEFT-pad the prompt to the next multiple so serving
+    # reuses the prefill/decode executables across prompt lengths instead of
+    # recompiling per question (remote compiles cost seconds-to-minutes on
+    # tunneled TPUs). 0 = exact length (flash prefill stays available).
+    pad_to_multiple: int = 0
 
 
 def _sample_top_p(key, logits: jnp.ndarray, temperature: float, top_p: float):
@@ -104,24 +143,51 @@ def generate(
     prompt_mask: Optional[jnp.ndarray] = None,     # [B, S] 0/1
     rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
-    """Returns generated token ids [B, max_new_tokens] (pad after stop/EOS)."""
-    dcfg: DecoderConfig = model.cfg
+    """Returns generated token ids [B, max_new_tokens] (pad after stop/EOS).
+
+    The whole prefill + decode loop runs as ONE jitted executable per
+    (prompt-shape, cfg) — never eagerly. Eager `model.apply` dispatches every
+    XLA op separately (~1000 remote round-trips per 32-layer prefill on a
+    tunneled TPU, tens of seconds); the jitted core makes a warm question a
+    single dispatch. Combine with cfg.pad_to_multiple so all questions of an
+    eval share a handful of executables.
+    """
     if prompt_embeds is None:
         prompt_embeds = model.apply({"params": params}, input_ids=prompt_ids,
                                     embed_only=True)
     b, s, _ = prompt_embeds.shape
-    max_len = s + cfg.max_new_tokens
+    masked = prompt_mask is not None
+    if cfg.pad_to_multiple and s % cfg.pad_to_multiple:
+        # bucket the prompt length: left-pad embeddings + mask; pad_offset
+        # below keeps RoPE phases content-aligned, identical outputs (tested)
+        extra = cfg.pad_to_multiple - s % cfg.pad_to_multiple
+        prompt_embeds = jnp.pad(prompt_embeds, ((0, 0), (extra, 0), (0, 0)))
+        if prompt_mask is None:
+            prompt_mask = jnp.ones((b, s))
+        prompt_mask = jnp.pad(prompt_mask, ((0, 0), (extra, 0)))
+        masked = True
+        s += extra
+    if prompt_mask is None:
+        prompt_mask = jnp.ones((b, s))
     if rng is None:
         rng = jax.random.PRNGKey(0)
+    return _generate_core(model, cfg, masked, params,
+                          jnp.asarray(prompt_embeds), prompt_mask, rng)
+
+
+@partial(jax.jit, static_argnames=("model", "cfg", "masked"))
+def _generate_core(model: Decoder, cfg: GenerationConfig, masked: bool,
+                   params, prompt_embeds, prompt_mask, rng) -> jnp.ndarray:
+    dcfg: DecoderConfig = model.cfg
+    b, s, _ = prompt_embeds.shape
+    max_len = s + cfg.max_new_tokens
 
     cache = init_kv_cache(dcfg, b, max_len)
     buffer_mask = jnp.zeros((b, max_len))
     # Unpadded prompts + use_flash: prefill without a mask so the decoder's
     # flash-prefill path applies (causal over in-flight tokens on the fresh
     # cache; the unwritten buffer tail is already excluded by causality).
-    flash_prefill = prompt_mask is None and dcfg.use_flash and s > 1
-    if prompt_mask is None:
-        prompt_mask = jnp.ones((b, s))
+    flash_prefill = not masked and dcfg.use_flash and s > 1
     buffer_mask = jax.lax.dynamic_update_slice(buffer_mask,
                                                prompt_mask.astype(jnp.float32), (0, 0))
     # LEFT-padded batching: per-row RoPE offsets so every row's content ends

@@ -203,3 +203,52 @@ def test_flash_prefill_generation_matches_einsum_path():
     ref = np.asarray(generate(model, params, cfg_g, prompt_embeds=emb,
                               prompt_mask=jnp.asarray(mask)))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_pad_to_multiple_bucketing_matches_exact():
+    """Length-bucketed generation (pad_to_multiple) must produce the same
+    greedy tokens as exact-length generation: left-padding + mask + RoPE
+    offsets keep the content positions identical."""
+    _, model, params = _tiny_pair(3)
+    ids = np.random.default_rng(5).integers(3, 96, (1, 11))  # 11 -> bucket 16
+    base = generate(model, params,
+                    GenerationConfig(max_new_tokens=10, do_sample=False,
+                                     eos_token_id=None or -1),
+                    prompt_ids=jnp.asarray(ids, jnp.int32))
+    bucketed = generate(model, params,
+                        GenerationConfig(max_new_tokens=10, do_sample=False,
+                                         eos_token_id=-1, pad_to_multiple=16),
+                        prompt_ids=jnp.asarray(ids, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(bucketed))
+    # already-aligned prompts are untouched (same executable geometry)
+    ids16 = np.random.default_rng(6).integers(3, 96, (1, 16))
+    a = generate(model, params,
+                 GenerationConfig(max_new_tokens=6, do_sample=False,
+                                  eos_token_id=-1, pad_to_multiple=16),
+                 prompt_ids=jnp.asarray(ids16, jnp.int32))
+    b = generate(model, params,
+                 GenerationConfig(max_new_tokens=6, do_sample=False,
+                                  eos_token_id=-1),
+                 prompt_ids=jnp.asarray(ids16, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pad_to_multiple_with_explicit_mask():
+    """Bucketing composes with caller-supplied left-padded batches."""
+    _, model, params = _tiny_pair(4)
+    ids = np.random.default_rng(7).integers(3, 96, (1, 9))
+    emb_model = lambda i: model.apply({"params": params},
+                                      input_ids=jnp.asarray(i, jnp.int32),
+                                      embed_only=True)
+    base = generate(model, params,
+                    GenerationConfig(max_new_tokens=8, do_sample=False,
+                                     eos_token_id=-1),
+                    prompt_embeds=emb_model(ids))
+    # caller left-pads by 2 with a mask; bucketing pads further to 16
+    emb = jnp.pad(emb_model(ids), ((0, 0), (2, 0), (0, 0)))
+    mask = jnp.pad(jnp.ones((1, 9)), ((0, 0), (2, 0)))
+    bucketed = generate(model, params,
+                        GenerationConfig(max_new_tokens=8, do_sample=False,
+                                         eos_token_id=-1, pad_to_multiple=16),
+                        prompt_embeds=emb, prompt_mask=mask)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(bucketed))

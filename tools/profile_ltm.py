@@ -5,8 +5,13 @@ Each mode times one jitted lax.scan whose body is a prefix of the chunk step
 (dependency-chain methodology, see bench.py). Used for the round-2 honest
 kernel verdict recorded in docs/KERNELS.md; keep for future perf work.
 """
+import os
+import sys
 import time
 from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax, jax.numpy as jnp
 from infinite_video_tpu.ops import ltm, gmatrix
 
