@@ -42,6 +42,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--top-p", type=float, default=0.9)
     p.add_argument("--max-new-tokens", type=int, default=300)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--fast-math", action="store_true",
+                   help="bf16-MXU LTM serving mode (~2x, ~6e-3 rel err)")
+    p.add_argument("--int8", action="store_true",
+                   help="weight-only int8 decoder (single-chip 7B serving)")
     p.add_argument("--smoke", action="store_true",
                    help="random weights, tiny geometry (pipeline smoke test)")
     p.add_argument("--breakpoint", default="",
@@ -65,7 +69,8 @@ def main(argv=None):
         image_size = cfg.vit.img_size
     else:
         cfg = ivl.default_config(chunk_len=args.max_int, num_basis=args.num_basis,
-                                 tau=args.tau, alpha=args.alpha, sticky=args.sticky)
+                                 tau=args.tau, alpha=args.alpha, sticky=args.sticky,
+                                 fast_math=args.fast_math)
         n_frames = args.max_int * args.n_samples
         image_size = 224
 
@@ -88,7 +93,12 @@ def main(argv=None):
         chunks = chunks[: max(1, valid)]
 
     encoder = ivl.InfVideoLLaMAEncoder(cfg)
-    decoder = Decoder(cfg.decoder)
+    dec_cfg = cfg.decoder
+    if args.int8:
+        import dataclasses as _dc
+
+        dec_cfg = _dc.replace(dec_cfg, quantized=True)
+    decoder = Decoder(dec_cfg)
 
     rng = jax.random.PRNGKey(args.seed)
     enc_params = encoder.init(rng, jnp.asarray(chunks[0]),
@@ -114,6 +124,10 @@ def main(argv=None):
                                                      "pytorch_model*.bin"))):
             dec_sd.update(load_torch_state_dict(shard))
         dec_params = convert_decoder_state_dict(dec_sd)
+        if args.int8:
+            from infinite_video_tpu.models.quantized import quantize_decoder_params
+
+            dec_params = quantize_decoder_params(dec_params)
     else:
         class _ToyTok:
             eos_token_id = 2

@@ -299,3 +299,24 @@ datasets:
     train_cli.main(["--config", str(cfg), "--stage", "hd",
                     "--output-dir", out_dir, "--tiny"])
     assert any(d.startswith("ckpt_") for d in os.listdir(out_dir))
+
+
+def test_infer_cli_smoke_and_breakpoint(tmp_path):
+    """Single-video CLI end-to-end in --smoke mode (tiny random weights),
+    incl. MovieChat-style --breakpoint prefix truncation."""
+    cv2 = pytest.importorskip("cv2")
+    path = str(tmp_path / "clip.avi")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 4, (64, 64))
+    for i in range(16):
+        w.write(np.full((64, 64, 3), 10 + 12 * i, np.uint8))
+    w.release()
+    from infinite_video_tpu.cli import infer as infer_cli
+
+    ans = infer_cli.main(["--video-path", path, "--question", "what is shown",
+                          "--smoke", "--max-new-tokens", "4"])
+    assert isinstance(ans, str)
+
+    ans2 = infer_cli.main(["--video-path", path, "--question", "and early on",
+                           "--smoke", "--max-new-tokens", "4",
+                           "--breakpoint", "0:02"])
+    assert isinstance(ans2, str)

@@ -102,3 +102,36 @@ def test_zero_shards_moments_and_matches_replicated_step():
     z_bytes = _moment_bytes_on_device0(state_z.opt_state)
     r_bytes = _moment_bytes_on_device0(state_r.opt_state)
     assert z_bytes < r_bytes / 2.5, (z_bytes, r_bytes)
+
+
+def test_zero_sharded_checkpoint_roundtrip(tmp_path):
+    """orbax save/restore of a dp-sharded TrainState preserves shardings and
+    values — the multichip auto-resume path (shared_utils_ds.py iter-level
+    ckpt_iter* resume, here at ZeRO granularity)."""
+    from infinite_video_tpu.convert.checkpoints import (restore_train_state,
+                                                        save_train_state)
+
+    mesh = make_mesh(dp=4, tp=2, devices=jax.devices())
+    state, _ = _setup(mesh, zero=True)
+
+    path = save_train_state(str(tmp_path), int(state.step), state)
+    assert path and "ckpt_" in path
+
+    restored, step_no = restore_train_state(str(tmp_path), state)
+    assert step_no == int(state.step)
+
+    # values identical
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # dp-sharded optimizer leaves restore dp-sharded (not replicated)
+    def specs(t):
+        return [getattr(getattr(x, "sharding", None), "spec", None)
+                for x in jax.tree_util.tree_leaves(t)
+                if getattr(x, "ndim", 0) >= 1]
+
+    want, got = specs(state.opt_state), specs(restored.opt_state)
+    assert want == got
+    assert any(s is not None and "dp" in jax.tree_util.tree_leaves(tuple(s))
+               for s in want if s is not None), want[:4]
