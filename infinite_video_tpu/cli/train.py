@@ -311,6 +311,50 @@ def _build_it_loaders(cfg, mcfg, epoch, tiny=False, stage="it"):
     loaders = {}
     for name, dcfg in cfg.get("datasets", {}).items():
         proc = train_processor(image_size=mcfg.vit.img_size)
+        if stage == "pt" and "shards" in dcfg:
+            # laion / cc_sbu / cc3m-style tar shards (LAVIS webdataset
+            # builders, laion_dataset.py:17-24) — data/webdataset.py
+            from infinite_video_tpu.data.webdataset import WebDatasetShards
+
+            bs = dcfg.get("batch_size", 1)
+            epoch_size = dcfg.get("epoch_size", 1024)
+            wds = WebDatasetShards(
+                dcfg["shards"], processor=proc,
+                shuffle_buffer=dcfg.get("shuffle_buffer", 1000),
+                seed=cfg.get("seed", 42) + epoch,
+                resample=dcfg.get("resample", False),
+                epoch_size=epoch_size)
+
+            class _WdsLoader:
+                def __init__(self, wds, bs, n,
+                             _prompt=cfg.get("prompt", "<Video></Video> ")):
+                    self.wds, self.bs, self.n = wds, bs, n
+                    self.prompt = _prompt
+
+                def __len__(self):
+                    return self.n // self.bs
+
+                def __iter__(self):
+                    import numpy as _np
+
+                    t = mcfg.vit.num_frames
+                    batch = []
+                    for frames, caption in self.wds:
+                        if frames.shape[0] == 1 and t > 1:
+                            # image corpora: tile to the model's frame count
+                            # (a static video) so image and video batches
+                            # share one train-step executable
+                            frames = _np.repeat(frames, t, axis=0)
+                        batch.append((frames, caption))
+                        if len(batch) == self.bs:
+                            yield collate_pt_batch(
+                                batch, tokenizer,
+                                num_query_tokens=mcfg.total_query_tokens,
+                                prompt=self.prompt)
+                            batch = []
+
+            loaders[name] = _WdsLoader(wds, bs, epoch_size)
+            continue
         if stage == "pt":
             ds = CaptionDataset(dcfg["ann_file"], dcfg["data_root"], proc,
                                 num_frames=mcfg.vit.num_frames)

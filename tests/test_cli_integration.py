@@ -320,3 +320,45 @@ def test_infer_cli_smoke_and_breakpoint(tmp_path):
                            "--smoke", "--max-new-tokens", "4",
                            "--breakpoint", "0:02"])
     assert isinstance(ans2, str)
+
+
+def test_train_cli_pt_webdataset_shards(tmp_path):
+    """--stage pt from laion/cc_sbu-style tar shards (webdataset format)."""
+    cv2 = pytest.importorskip("cv2")
+    import io
+    import tarfile
+
+    with tarfile.open(str(tmp_path / "wds-00000.tar"), "w") as tf:
+        def add(name, data):
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+
+        for k, color in (("a", 40), ("b", 120)):
+            ok, buf = cv2.imencode(".jpg", np.full((64, 64, 3), color,
+                                                   np.uint8))
+            assert ok
+            add(f"{k}.jpg", buf.tobytes())
+            add(f"{k}.txt", f"a square of shade {color}".encode())
+
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(f"""
+seed: 7
+max_epochs: 1
+model:
+  num_frames: 2
+optimizer: {{lr: 1.0e-4}}
+scheduler: {{warmup_steps: 1, total_steps: 4}}
+datasets:
+  laion_toy:
+    shards: {tmp_path}/wds-{{00000..00000}}.tar
+    batch_size: 2
+    epoch_size: 2
+    shuffle_buffer: 2
+""")
+    from infinite_video_tpu.cli import train as train_cli
+
+    out_dir = str(tmp_path / "run_wds")
+    train_cli.main(["--config", str(cfg), "--stage", "pt",
+                    "--output-dir", out_dir, "--tiny"])
+    assert any(d.startswith("ckpt_") for d in os.listdir(out_dir))

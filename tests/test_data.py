@@ -239,3 +239,66 @@ def test_randaugment_clip_consistency_and_processor_hook():
     proc = train_processor(image_size=32, rand_aug=True)
     res = proc(frames, np.random.default_rng(6))
     assert res.shape == (3, 32, 32, 3) and res.dtype == np.float32
+
+
+def _write_shard(path, items, corrupt_keys=()):
+    """items: [(key, color, caption)] -> tar with key.jpg + key.json."""
+    import json as _json
+    import tarfile
+
+    import cv2
+
+    with tarfile.open(path, "w") as tf:
+        def add(name, data):
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            import io as _io
+            tf.addfile(info, _io.BytesIO(data))
+
+        for key, color, caption in items:
+            img = np.full((32, 48, 3), color, np.uint8)
+            ok, buf = cv2.imencode(".jpg", img)
+            assert ok
+            data = b"not-a-jpeg" if key in corrupt_keys else buf.tobytes()
+            add(f"{key}.jpg", data)
+            add(f"{key}.json",
+                _json.dumps({"caption": caption}).encode())
+
+
+def test_webdataset_shards_pairs_and_skips_corrupt(tmp_path):
+    pytest.importorskip("cv2")
+    from infinite_video_tpu.data.webdataset import WebDatasetShards
+
+    _write_shard(str(tmp_path / "s-00000.tar"),
+                 [("a", 10, "cap a"), ("b", 50, "cap b")],
+                 corrupt_keys=("b",))
+    _write_shard(str(tmp_path / "s-00001.tar"), [("c", 90, "cap c")])
+
+    ds = WebDatasetShards(str(tmp_path / "s-*.tar"), shuffle_buffer=1,
+                          seed=0)
+    got = list(ds)
+    caps = sorted(c for _, c in got)
+    assert caps == ["cap a", "cap c"]          # corrupt 'b' skipped
+    frames, _ = got[0]
+    assert frames.shape[0] == 1 and frames.shape[-1] == 3
+    assert frames.dtype == np.float32
+
+
+def test_webdataset_brace_expansion_and_epoch_size(tmp_path):
+    pytest.importorskip("cv2")
+    from infinite_video_tpu.data.webdataset import (WebDatasetShards,
+                                                    expand_shard_pattern)
+
+    assert expand_shard_pattern("x-{00000..00002}.tar") == [
+        "x-00000.tar", "x-00001.tar", "x-00002.tar"]
+
+    for i in range(2):
+        _write_shard(str(tmp_path / f"t-{i:05d}.tar"),
+                     [(f"k{i}{j}", 20 * j + 5, f"cap {i}{j}")
+                      for j in range(3)])
+    ds = WebDatasetShards(str(tmp_path / "t-{00000..00001}.tar"),
+                          shuffle_buffer=4, seed=1, resample=True,
+                          epoch_size=5)
+    got = list(ds)
+    assert len(got) == 5                        # resample bounded by epoch
+    assert all(c.startswith("cap ") for _, c in got)
