@@ -27,7 +27,7 @@ def build_argparser():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--benchmark", required=True,
                    choices=["nextqa", "nextqa-oe", "egoschema", "videomme",
-                            "moviechat"])
+                            "moviechat", "moviechat-bp"])
     p.add_argument("--model", default="videochat2",
                    choices=["videochat2", "infvideollama"])
     p.add_argument("--data-path", required=True, help="annotation csv/json/dir")
@@ -267,6 +267,9 @@ def main(argv=None):
         stats = drivers.run_videomme(engine, args.data_path, source, out,
                                      subtitle_dir=args.subtitle_folder or None,
                                      progress=progress)
+    elif args.benchmark == "moviechat-bp":
+        stats = drivers.run_moviechat_breakpoint(engine, args.data_path,
+                                                 source, out, progress)
     else:
         stats = drivers.run_moviechat_global(engine, args.data_path, source, out,
                                              progress)

@@ -1,5 +1,5 @@
 """Benchmark eval drivers: NExT-QA, EgoSchema, Video-MME (± subtitles),
-MovieChat-1K global mode, NExT-OE.
+MovieChat-1K (global AND breakpoint modes), NExT-OE.
 
 Each driver is a `run_*` function over a `LLaMAVideoQA`/`MistralVideoQA`
 engine plus a frame source, with the reference's resumable predictions-JSON
@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import csv
 import json
+import math
 import os
 import re
 from typing import Callable, Dict, Iterable, List, Optional
@@ -31,7 +32,8 @@ from infinite_video_tpu.eval.protocol import PredictionStore
 
 __all__ = ["load_igvlm_csv", "run_nextqa_mistral", "run_nextqa_llama",
            "run_egoschema", "run_videomme", "run_moviechat_global",
-           "MC_SYSTEM_PROMPT", "check_answer_option"]
+           "run_moviechat_breakpoint", "MC_SYSTEM_PROMPT",
+           "check_answer_option"]
 
 # run_nextqa_mistral.py:563-566
 MC_SYSTEM_PROMPT = (
@@ -333,6 +335,51 @@ def run_moviechat_global(engine, anno_dir: str, frame_source, out_path: str,
             pred = engine.answer(emb, qa["question"])
             store.record(key, {"question": qa["question"],
                                "answer": qa.get("answer", ""), "pred": pred})
+        if progress:
+            progress(i, len(files), fname, "")
+    store.finalize()
+    return store.data
+
+
+def run_moviechat_breakpoint(engine, anno_dir: str, frame_source,
+                             out_path: str, progress=None) -> Dict:
+    """MovieChat-1K breakpoint mode: each QA carries a `time` (frame index in
+    the source video); the answer must come from the video prefix up to that
+    moment only. The reference ships only the global-mode driver — this
+    implements the benchmark's other half with the intended middle-video
+    semantics of the (broken) reference demo (infinityqa.py:233-236,
+    app_gradio.py breakpoint checkbox): all chunks encode under one static
+    executable, the per-chunk embedding mean is masked to the prefix
+    (engine.encode_video_prefix / runtime/streaming.py::stream_until).
+
+    Annotation JSONs: {"info": {"video_path", "num_frame"},
+    "breakpoint": [{"question", "answer", "time"}, ...]}.
+    """
+    store = PredictionStore(out_path)
+    files = sorted(f for f in os.listdir(anno_dir) if f.endswith(".json"))
+    for i, fname in enumerate(files):
+        with open(os.path.join(anno_dir, fname), encoding="utf-8") as f:
+            meta = json.load(f)
+        info = meta.get("info", {})
+        video = info.get("video_path", fname.replace(".json", ".mp4"))
+        total = float(info.get("num_frame", 0)) or None
+        chunks = None
+        for j, qa in enumerate(meta.get("breakpoint", [])):
+            key = f"{fname}_bp{j}"
+            if key in store:
+                continue
+            if chunks is None:
+                chunks = frame_source(video)
+            n_chunks = int(chunks.shape[0])
+            t = float(qa.get("time", 0))
+            frac = (t / total) if total else 1.0
+            num_valid = max(1, min(n_chunks, int(math.ceil(frac * n_chunks))))
+            emb = engine.encode_video_prefix(chunks, num_valid)
+            pred = engine.answer(emb, qa["question"])
+            store.record(key, {"question": qa["question"],
+                               "answer": qa.get("answer", ""),
+                               "time": t, "num_valid": num_valid,
+                               "pred": pred})
         if progress:
             progress(i, len(files), fname, "")
     store.finalize()

@@ -28,7 +28,8 @@ import numpy as np
 from infinite_video_tpu.runtime.generation import (GenerationConfig, generate,
                                                    host_embed_table,
                                                    interleave_prompt_embeds)
-from infinite_video_tpu.runtime.streaming import stream_mean_embedding
+from infinite_video_tpu.runtime.streaming import (stream_mean_embedding,
+                                                  stream_until)
 
 __all__ = ["LLaMAVideoQA", "MistralVideoQA"]
 
@@ -72,11 +73,32 @@ class LLaMAVideoQA:
 
         self._encode = _encode
 
+        @jax.jit
+        def _encode_until(enc_params, chunks, num_valid, rng):
+            # breakpoint mode: encode every chunk (static shapes) but mean
+            # only the first num_valid — the memory/context of the video
+            # prefix up to the question time. num_valid is traced, so one
+            # executable serves every breakpoint (runtime/streaming.py).
+            def enc(chunk, states, key):
+                return encoder.apply({"params": enc_params}, chunk, states,
+                                     ltm_rng=key)
+            return stream_until(enc, init_states(chunks.shape[1]), chunks,
+                                num_valid, rng)[0]
+
+        self._encode_until = _encode_until
+
     def encode_video(self, chunks: jnp.ndarray, rng=None) -> jnp.ndarray:
         """chunks: [C, B, T, H, W, 3] -> mean video embedding [B, Q, llm_dim]."""
         return self._encode(self.enc_params,
                             jnp.asarray(chunks),
                             rng if rng is not None else jax.random.PRNGKey(0))
+
+    def encode_video_prefix(self, chunks: jnp.ndarray, num_valid,
+                            rng=None) -> jnp.ndarray:
+        """MovieChat breakpoint mode: mean over the first num_valid chunks."""
+        return self._encode_until(self.enc_params, jnp.asarray(chunks),
+                                  jnp.asarray(num_valid, jnp.int32),
+                                  rng if rng is not None else jax.random.PRNGKey(0))
 
     def _embed_segments(self, segments: Sequence[str], video_embs):
         return _embed_segments_generic(self, segments, video_embs)

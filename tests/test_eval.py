@@ -258,3 +258,44 @@ def test_question_batched_loop_matches_sequential(tmp_path):
     assert a == b
     # 5 questions at batch 2 -> 3 padded groups of 2
     assert Eng.calls == [2, 2, 2]
+
+
+def test_run_moviechat_breakpoint(tmp_path):
+    """Breakpoint driver: prefix length follows the question time; resumable."""
+    import json as _json
+
+    class FakeLLaMAEngine:
+        protocol = "llama"
+
+        def __init__(self):
+            self.calls = []
+
+        def encode_video_prefix(self, chunks, num_valid, rng=None):
+            self.calls.append(int(num_valid))
+            return chunks
+
+        def answer(self, emb, question, **kw):
+            return f"prefix answer about {question.split()[0]}"
+
+    anno = {"info": {"video_path": "m.mp4", "num_frame": 100},
+            "breakpoint": [
+                {"question": "early event?", "answer": "x", "time": 10},
+                {"question": "late event?", "answer": "y", "time": 90}]}
+    (tmp_path / "movie1.json").write_text(_json.dumps(anno))
+    out = str(tmp_path / "preds.json")
+
+    eng = FakeLLaMAEngine()
+    data = drivers.run_moviechat_breakpoint(
+        eng, str(tmp_path), frame_source=lambda v: np.zeros((4, 1, 2)),
+        out_path=out)
+    assert len(data) == 2
+    # 4 chunks: time 10/100 -> ceil(0.4)=1 chunk; 90/100 -> ceil(3.6)=4
+    assert eng.calls == [1, 4]
+    assert data["movie1.json_bp0"]["num_valid"] == 1
+    assert data["movie1.json_bp1"]["num_valid"] == 4
+
+    # resumable: second run never touches the frame source
+    data2 = drivers.run_moviechat_breakpoint(
+        FakeLLaMAEngine(), str(tmp_path),
+        frame_source=lambda v: 1 / 0, out_path=out)
+    assert len(data2) == 2
