@@ -43,6 +43,9 @@ def build_argparser():
     p.add_argument("--alpha", type=float, default=1.0)
     p.add_argument("--sticky", action="store_true", default=True)
     p.add_argument("--no-sticky", dest="sticky", action="store_false")
+    p.add_argument("--hd-num", type=int, default=0,
+                   help="HD dynamic-resolution eval: max local 224px tiles "
+                        "(+1 global view), run_egoschema_mistral_hd.py")
     p.add_argument("--baseline", action="store_true",
                    help="disable the LTM (stock Q-former control arm)")
     # checkpoints
@@ -70,10 +73,12 @@ def build_argparser():
 
 
 def make_frame_source(video_folder: str, num_frames: int, chunk_len: int,
-                      image_size: int = 224):
+                      image_size: int = 224, hd_num: int = 0):
     """video name -> [C, 1, T, H, W, 3] normalized chunks; supports raw videos
     or .npy frame dumps from cli.extract_features, with C++ read-ahead when
-    native prefetch is available."""
+    native prefetch is available. hd_num>0 emits dynamic-resolution tile
+    stacks [C, n_tiles, T, s, s, 3] (run_egoschema_mistral_hd.py:313-332:
+    HD transform on the whole sampled stack, then chunk along time)."""
     import numpy as np
 
     from infinite_video_tpu.data.processors import eval_processor
@@ -97,6 +102,30 @@ def make_frame_source(video_folder: str, num_frames: int, chunk_len: int,
             path = next((p for p in candidates if os.path.exists(p)),
                         candidates[0])
             frames = read_video_frames(path, num_frames, sampling="middle")
+        if hd_num:
+            from infinite_video_tpu.data.hd_utils import hd_transform_padding
+            from infinite_video_tpu.data.processors import CLIP_MEAN, CLIP_STD
+
+            f = frames.astype(np.float32)
+            if frames.dtype == np.uint8:
+                f = f / 255.0
+            hd = hd_transform_padding(f, image_size, hd_num)  # [T, H', W', 3]
+            t_total, h, w, c3 = hd.shape
+            gh, gw = h // image_size, w // image_size
+            tiles = hd.reshape(t_total, gh, image_size, gw, image_size, c3)
+            tiles = tiles.transpose(1, 3, 0, 2, 4, 5).reshape(
+                gh * gw, t_total, image_size, image_size, c3)
+            from infinite_video_tpu.data.hd_utils import _resize_bicubic
+
+            thumb = _resize_bicubic(hd, image_size, image_size)[None]
+            tiles = np.concatenate([tiles, thumb], axis=0)  # + global view
+            tiles = ((tiles - np.asarray(CLIP_MEAN, np.float32))
+                     / np.asarray(CLIP_STD, np.float32)).astype(np.float32)
+            c = t_total // chunk_len
+            nt = tiles.shape[0]
+            tiles = tiles[:, : c * chunk_len].reshape(
+                nt, c, chunk_len, image_size, image_size, c3)
+            return np.ascontiguousarray(tiles.transpose(1, 0, 2, 3, 4, 5))
         return chunk_frames(proc(frames), chunk_len)
 
     return source
@@ -137,7 +166,8 @@ def build_engine(args):
             dec_params = _load_decoder_params(args.llm, decoder, rng)
         decoder, dec_params = _maybe_quantize(args, cfg, decoder, dec_params)
         return MistralVideoQA(encoder, enc_params, decoder, dec_params,
-                              tokenizer, init_states=encoder.init_states), cfg
+                              tokenizer, init_states=encoder.init_states,
+                              hd_num=args.hd_num), cfg
     else:
         from infinite_video_tpu.eval.engine import LLaMAVideoQA
         from infinite_video_tpu.models import infinite_videollama as ivl
@@ -188,7 +218,8 @@ def _build_tiny_engine(args):
     tok = ToyTokenizer(cfg.decoder.vocab_size)
     return MistralVideoQA(encoder, enc_params, decoder, dec_params, tok,
                           init_states=encoder.init_states,
-                          qformer_tokenizer=tok), cfg
+                          qformer_tokenizer=tok,
+                          hd_num=getattr(args, "hd_num", 0)), cfg
 
 
 def _maybe_quantize(args, cfg, decoder, dec_params):
@@ -233,7 +264,8 @@ def main(argv=None):
     engine, cfg = build_engine(args)
     num_frames = args.max_int * args.num_samples \
         if args.model == "videochat2" else args.max_int * args.num_samples
-    source = make_frame_source(args.video_folder, num_frames, args.max_int)
+    source = make_frame_source(args.video_folder, num_frames, args.max_int,
+                               hd_num=args.hd_num)
 
     name = run_name(max_int=args.max_int, num_basis=args.num_basis,
                     sticky=args.sticky, tau=args.tau, alpha=args.alpha)

@@ -126,8 +126,9 @@ class MistralVideoQA:
 
     def __init__(self, encoder, enc_params, decoder, dec_params, tokenizer,
                  init_states: Callable, qformer_tokenizer=None,
-                 pad_to_multiple: int = 128):
+                 pad_to_multiple: int = 128, hd_num: int = 0):
         self.pad_to_multiple = pad_to_multiple  # see LLaMAVideoQA
+        self.hd_num = hd_num  # >0: dynamic-resolution tiles (encode_hd)
         self.encoder = encoder
         self.enc_params = enc_params
         self.decoder = decoder
@@ -148,11 +149,36 @@ class MistralVideoQA:
 
         self._encode = _encode
 
+        @jax.jit
+        def _encode_hd(enc_params, chunks, instr_ids, instr_mask, rng):
+            # HD eval (run_egoschema_mistral_hd.py): chunks carry tiles
+            # [C, n_tiles, T, s, s, 3]; every tile is a batch element with
+            # its own LTM memory (encode_hd), per-chunk output
+            # [1, n_tiles*Q, D], mean over chunks.
+            def enc(chunk, states, key):
+                return encoder.apply({"params": enc_params}, chunk, states,
+                                     instruction_ids=instr_ids,
+                                     instruction_mask=instr_mask, ltm_rng=key,
+                                     method=encoder.encode_hd)
+            return stream_mean_embedding(enc, init_states(chunks.shape[1]),
+                                         chunks, rng)[0]
+
+        self._encode_hd = _encode_hd
+
     def encode_video(self, chunks, system: str = "", rng=None) -> jnp.ndarray:
         """Per-chunk encode_img with the system text as Q-former instruction
         (run_nextqa_mistral.py:141-152), then mean over chunks. chunks may be
-        batched over videos ([C, B, ...]); the shared instruction tiles to B."""
+        batched over videos ([C, B, ...]); the shared instruction tiles to B.
+        With hd_num set, chunks are tile stacks ([C, n_tiles, T, s, s, 3])."""
         chunks = jnp.asarray(chunks)
+        if self.hd_num:
+            enc = self.qformer_tokenizer(system, add_special_tokens=True)
+            ids = jnp.asarray([enc["input_ids"]], jnp.int32)
+            mask = jnp.asarray(
+                [enc.get("attention_mask", [1] * ids.shape[1])], jnp.float32)
+            return self._encode_hd(
+                self.enc_params, chunks, ids, mask,
+                rng if rng is not None else jax.random.PRNGKey(0))
         enc = self.qformer_tokenizer(system, add_special_tokens=True)
         b = chunks.shape[1]
         ids = jnp.tile(jnp.asarray([enc["input_ids"]], jnp.int32), (b, 1))

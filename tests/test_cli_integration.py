@@ -362,3 +362,26 @@ datasets:
     train_cli.main(["--config", str(cfg), "--stage", "pt",
                     "--output-dir", out_dir, "--tiny"])
     assert any(d.startswith("ckpt_") for d in os.listdir(out_dir))
+
+
+def test_run_eval_cli_hd_mode(synthetic_benchmark, tmp_path):
+    """--hd-num: dynamic-resolution tile eval path (tiles-as-batch encode,
+    run_egoschema_mistral_hd.py analogue) end-to-end on the tiny engine."""
+    from infinite_video_tpu.cli import run_eval
+
+    anno, vids = synthetic_benchmark
+    out_dir = str(tmp_path / "out_hd")
+    run_eval.main([
+        "--benchmark", "nextqa", "--model", "videochat2", "--tiny",
+        "--data-path", anno, "--video-folder", vids,
+        "--output-dir", out_dir, "--max-int", "2", "--num-samples", "2",
+        "--num-basis", "16", "--llm", "unused-with-tiny",
+        "--hd-num", "2",
+    ])
+    preds = []
+    for root, _, files in os.walk(out_dir):
+        preds += [os.path.join(root, f) for f in files if f.endswith(".json")]
+    assert preds
+    with open(preds[0]) as f:
+        data = json.load(f)
+    assert "vid0_0" in data and "stats" in data
