@@ -250,6 +250,24 @@ def assemble_videochat2_params(
     return params, decoder_params
 
 
+def interpolate_temporal_embed(old: np.ndarray, t_new: int) -> np.ndarray:
+    """load_temp_embed_with_mismatch(add_zero=False) semantics
+    (models/utils.py:56-99): truncate when shrinking; linear-interpolate along
+    time (F.interpolate mode='linear', align_corners=False) when growing.
+    old: [1, T0, 1, C] -> [1, t_new, 1, C]."""
+    t0 = old.shape[1]
+    if t_new == t0:
+        return old
+    if t_new < t0:
+        return old[:, :t_new]
+    scale = t0 / t_new
+    x = np.clip((np.arange(t_new) + 0.5) * scale - 0.5, 0.0, t0 - 1.0)
+    lo = np.floor(x).astype(int)
+    hi = np.minimum(lo + 1, t0 - 1)
+    w = (x - lo)[None, :, None, None].astype(old.dtype)
+    return old[:, lo] * (1 - w) + old[:, hi] * w
+
+
 def assemble_videochat2_qformer_params(
     init_params: Dict,
     checkpoint_path: str,
@@ -288,6 +306,17 @@ def assemble_videochat2_qformer_params(
             upd["query_tokens"] = np.asarray(v, np.float32)
         elif k == "temp":
             upd["temp"] = np.asarray(v, np.float32).reshape(())
+        elif k == "vision_temp_embed":
+            # frame-count mismatches interpolate (builder.py:38-41 with
+            # add_zero=False; target frame count from the model's init tree)
+            tgt = init_params.get("vision_temp_embed")
+            t_new = tgt.shape[1] if tgt is not None else v.shape[1]
+            upd["vision_temp_embed"] = interpolate_temporal_embed(
+                np.asarray(v, np.float32), int(t_new))
+        elif k.startswith("vision_layernorm."):
+            ln = upd.setdefault("vision_layernorm", {})
+            field = "scale" if k.endswith(".weight") else "bias"
+            ln[field] = np.asarray(v, np.float32)
         elif k.startswith(("vision_proj.", "text_proj.", "itm_head.")):
             comps[k.split(".", 1)[0]][k.split(".", 1)[1]] = v
         else:

@@ -55,6 +55,15 @@ class VideoChat2QFormerPretrain(nn.Module):
     def setup(self):
         cfg = self.cfg
         self.vision_encoder = VisionTransformer(cfg.vit, name="vision_encoder")
+        # learnable per-frame temporal embedding + separate fp32 LN, applied
+        # AFTER the temp add (videochat2_qformer.py:36-41,176-180 keeps these
+        # outside the ViT in stage-1; checkpoint frame-count mismatches are
+        # interpolated at load, convert/checkpoints.py)
+        self.vision_temp_embed = self.param(
+            "vision_temp_embed", nn.initializers.normal(0.02),
+            (1, cfg.vit.num_frames, 1, cfg.vit.embed_dim))
+        self.vision_layernorm = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32,
+                                             name="vision_layernorm")
         self.qformer = QFormer(cfg.qformer, name="qformer")
         self.query_tokens = self.param(
             "query_tokens", nn.initializers.normal(0.02),
@@ -70,9 +79,17 @@ class VideoChat2QFormerPretrain(nn.Module):
         return jnp.clip(self.temp, 0.001, 0.5)
 
     def encode_vision(self, pixels: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """[B,T,H,W,C] -> (patch features [B, T*L, C], query embeds [B, Q, H])."""
+        """[B,T,H,W,C] -> (patch features [B, T*L, C], query embeds [B, Q, H]).
+
+        Mirrors encode_vision (videochat2_qformer.py:163-183): ViT → + per-
+        frame temporal embedding → flatten → vision LN."""
         feats = self.vision_encoder(pixels)
         b = feats.shape[0]
+        t = self.cfg.vit.num_frames
+        feats = feats.reshape(b, t, -1, feats.shape[-1])
+        feats = feats + self.vision_temp_embed.astype(feats.dtype)
+        feats = feats.reshape(b, t * feats.shape[2], feats.shape[-1])
+        feats = self.vision_layernorm(feats)
         q = jnp.tile(self.query_tokens, (b, 1, 1))
         query_out, _ = self.qformer(query_embeds=q, encoder_hidden_states=feats,
                                     ltm_on=False)
@@ -175,7 +192,11 @@ def default_pretrain_config(num_frames: int = 4,
     shared embedding space, loss weights vtc=1, vtm=1, cap=1, mlm=0."""
     from infinite_video_tpu.models.vit import umt_vit_l_config
 
-    vit = umt_vit_l_config(num_frames=num_frames, depth=23, dtype=dtype)
+    # return_index=-2 keeps 23 of 24 blocks; the final LN lives in the
+    # wrapper AFTER the temporal embedding (vit_add_ln separated, :251-255)
+    vit = dataclasses.replace(
+        umt_vit_l_config(num_frames=num_frames, depth=23, dtype=dtype),
+        final_ln=False)
     qf = QFormerConfig(hidden_size=768, num_layers=12, num_heads=12,
                        intermediate_size=3072, encoder_width=1024,
                        cross_attention_freq=2, query_length=32,
@@ -193,7 +214,7 @@ def tiny_pretrain_config() -> QFormerPretrainConfig:
 
     vit = ViTConfig(img_size=32, patch_size=16, embed_dim=32, depth=1,
                     num_heads=2, mlp_hidden=64, use_cls_token=False,
-                    pos_embed="sinusoid", num_frames=2, final_ln=True)
+                    pos_embed="sinusoid", num_frames=2, final_ln=False)
     qf = QFormerConfig(hidden_size=32, num_layers=2, num_heads=2,
                        intermediate_size=64, encoder_width=32,
                        cross_attention_freq=2, query_length=4, vocab_size=64,

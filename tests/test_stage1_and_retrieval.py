@@ -211,3 +211,52 @@ def test_stage1_checkpoint_assembly(tmp_path):
     losses = model.apply({"params": loaded}, pixels, ids, mask,
                          rng=jax.random.PRNGKey(2))
     assert np.isfinite(float(losses["loss_total"]))
+
+
+def test_temporal_embed_interpolation_matches_torch():
+    """interpolate_temporal_embed == F.interpolate(mode='linear') on grow,
+    truncation on shrink (load_temp_embed_with_mismatch, add_zero=False)."""
+    import torch
+
+    from infinite_video_tpu.convert.checkpoints import interpolate_temporal_embed
+
+    old = np.random.default_rng(0).normal(size=(1, 4, 1, 6)).astype(np.float32)
+    got = interpolate_temporal_embed(old, 9)
+    ref = torch.nn.functional.interpolate(
+        torch.tensor(old).squeeze(2).permute(0, 2, 1), 9, mode="linear"
+    ).permute(0, 2, 1).unsqueeze(2).numpy()
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+    np.testing.assert_array_equal(interpolate_temporal_embed(old, 2),
+                                  old[:, :2])
+    np.testing.assert_array_equal(interpolate_temporal_embed(old, 4), old)
+
+
+def test_stage1_assembly_routes_temp_embed_and_ln(tmp_path):
+    import torch
+
+    from infinite_video_tpu.convert.checkpoints import (
+        assemble_videochat2_qformer_params)
+
+    cfg = _tiny_cfg()
+    model = VideoChat2QFormerPretrain(cfg)
+    pixels = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 32, 32, 3)) * 0.3
+    ids = jnp.asarray(np.random.default_rng(0).integers(3, 62, (1, 5)))
+    params = model.init(jax.random.PRNGKey(1), pixels, ids,
+                        jnp.ones((1, 5)))["params"]
+    assert params["vision_temp_embed"].shape == (1, 2, 1, 32)
+
+    # checkpoint trained with 4 frames -> interpolated down to the model's 2
+    sd = {"vision_temp_embed": torch.randn(1, 4, 1, 32),
+          "vision_layernorm.weight": torch.ones(32) * 2.0,
+          "vision_layernorm.bias": torch.zeros(32)}
+    p = str(tmp_path / "s1.pth")
+    torch.save({"model": sd}, p)
+    report = {}
+    out = assemble_videochat2_qformer_params(params, p, report=report)
+    assert report.get(p, []) == []
+    assert out["vision_temp_embed"].shape == (1, 2, 1, 32)
+    np.testing.assert_array_equal(
+        out["vision_temp_embed"],
+        np.asarray(sd["vision_temp_embed"].numpy()[:, :2], np.float32))
+    assert float(out["vision_layernorm"]["scale"][0]) == 2.0
