@@ -256,6 +256,7 @@ class Decoder(nn.Module):
         cache: Optional[KVCache] = None,
         embed_only: bool = False,
         position_offset: Optional[jnp.ndarray] = None,  # [B] (left padding)
+        position_ids: Optional[jnp.ndarray] = None,     # [B, S] RoPE positions
     ):
         cfg = self.cfg
         embed = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=cfg.dtype,
@@ -273,11 +274,15 @@ class Decoder(nn.Module):
         else:
             positions = jnp.arange(s)
             key_pos = jnp.arange(s)
-        # RoPE phases may shift per row (left padding); the causal bias below
+        # RoPE phases may shift per row (left padding) or be fully custom
+        # (HF semantics: position_ids = cumsum(attention_mask)-1, so
+        # mid-sequence pads don't advance positions); the causal bias below
         # always works over absolute buffer slots — padded keys are excluded
         # via attention_mask.
         rope_positions = positions
-        if position_offset is not None:
+        if position_ids is not None:
+            rope_positions = position_ids
+        elif position_offset is not None:
             rope_positions = jnp.maximum(
                 positions[None, :] - position_offset[:, None], 0)
         # Flash applies to full-sequence forwards AND to multi-token prefill
@@ -285,7 +290,8 @@ class Decoder(nn.Module):
         # that no earlier cache entries exist and no padding needs masking —
         # runtime/generation.py passes it for unpadded prompts).
         if (cfg.use_flash and attention_mask is None and s > 1
-                and position_offset is None and cfg.sliding_window is None):
+                and position_offset is None and position_ids is None
+                and cfg.sliding_window is None):
             bias = None  # causal handled inside the flash kernel
         else:
             # allowed(q, k) = causal, intersected with the sliding window.

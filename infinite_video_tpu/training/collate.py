@@ -73,11 +73,19 @@ def _collate_text_parts(
         np.full((b, pre.shape[1] + num_query_tokens), -100, np.int64),
         post_labels,
     ], axis=1)
+    pre_mask = np.zeros(pre.shape, np.float32)
+    for i, r in enumerate(pre_rows):
+        pre_mask[i, : len(r)] = 1.0
+    post_mask = np.zeros(post.shape, np.float32)
+    for i, r in enumerate(post_rows):
+        post_mask[i, : len(r)] = 1.0
     return {
         "instruction_ids": instr,
         "instruction_mask": instr_mask,
         "pre_ids": pre,
         "post_ids": post,
+        "pre_mask": pre_mask,
+        "post_mask": post_mask,
         "labels": labels,
     }
 
@@ -144,8 +152,13 @@ def collate_pt_batch(
         np.full((b, pre.shape[1] + num_query_tokens), -100, np.int64),
         post_labels,
     ], axis=1)
+    pre_mask = np.zeros(pre.shape, np.float32)
+    post_mask = np.zeros(post.shape, np.float32)
+    for i, (pr, po) in enumerate(zip(pre_rows, post_rows)):
+        pre_mask[i, : len(pr)] = 1.0
+        post_mask[i, : len(po)] = 1.0
     return {"pixels": np.stack(pixels), "pre_ids": pre, "post_ids": post,
-            "labels": labels}
+            "pre_mask": pre_mask, "post_mask": post_mask, "labels": labels}
 
 
 def collate_qformer_batch(
@@ -238,7 +251,5 @@ def collate_hd_batch(
 
     out["pixels"] = np.stack(pixel_rows)                # [B, M, T, s, s, C]
     out["tile_mask"] = np.asarray(mask_rows, np.float32)
-    out["pre_mask"] = (out["pre_ids"] != pad_token_id).astype(np.float32)
-    out["pre_mask"][:, 0] = 1.0                         # BOS may equal pad id
-    out["post_mask"] = (out["post_ids"] != pad_token_id).astype(np.float32)
+    # pre_mask/post_mask come from _collate_text_parts (exact row lengths)
     return out

@@ -59,7 +59,20 @@ def it_loss_parts(encoder, decoder, params, batch, rng, ltm_on: bool = True):
                          embed_only=True)
     inputs = jnp.concatenate([pre, video_emb.astype(pre.dtype), post], axis=1)
 
-    logits, _ = decoder.apply({"params": dec_params}, inputs_embeds=inputs)
+    # Ragged batches: exclude text pads from attention and give HF-semantics
+    # positions (position_ids = cumsum(mask)-1 — pads don't advance RoPE,
+    # matching the reference's masked Mistral forward). Batches without masks
+    # (uniform lengths / legacy callers) keep the dense path.
+    attn = pos_ids = None
+    if "pre_mask" in batch and "post_mask" in batch:
+        b = inputs.shape[0]
+        video_mask = jnp.ones((b, video_emb.shape[1]), jnp.float32)
+        attn = jnp.concatenate([batch["pre_mask"], video_mask,
+                                batch["post_mask"]], axis=1)
+        pos_ids = jnp.maximum(jnp.cumsum(attn, axis=1).astype(jnp.int32) - 1, 0)
+
+    logits, _ = decoder.apply({"params": dec_params}, inputs_embeds=inputs,
+                              attention_mask=attn, position_ids=pos_ids)
     labels = batch["labels"]
     shift_logits = logits[:, :-1]
     shift_labels = labels[:, 1:]
@@ -106,9 +119,10 @@ def hd_loss_parts(encoder, decoder, params, batch, rng, ltm_on: bool = True):
     inputs = jnp.concatenate([pre, video.astype(pre.dtype), post], axis=1)
     attn = jnp.concatenate([batch["pre_mask"], video_mask,
                             batch["post_mask"]], axis=1)
+    pos_ids = jnp.maximum(jnp.cumsum(attn, axis=1).astype(jnp.int32) - 1, 0)
 
     logits, _ = decoder.apply({"params": dec_params}, inputs_embeds=inputs,
-                              attention_mask=attn)
+                              attention_mask=attn, position_ids=pos_ids)
     labels = batch["labels"]
     shift_logits = logits[:, :-1]
     shift_labels = labels[:, 1:]

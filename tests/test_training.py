@@ -215,3 +215,76 @@ def test_pt_batch_trains_with_it_loss():
     state, metrics = step(state, batch, jax.random.PRNGKey(3))
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 1
+
+
+def test_ragged_batch_loss_matches_solo_runs():
+    """With pre/post masks + HF-semantics position_ids, a ragged batch's loss
+    parts equal the sum of per-sample runs — pads are truly inert."""
+    import jax
+    import jax.numpy as jnp
+
+    from infinite_video_tpu.models import videochat2 as vc2
+    from infinite_video_tpu.models.decoder import Decoder
+    from infinite_video_tpu.training.trainer import it_loss_parts
+
+    cfg = vc2.tiny_config()
+    encoder = vc2.VideoChat2Encoder(cfg)
+    decoder = Decoder(cfg.decoder)
+    t = cfg.vit.num_frames
+    q = cfg.total_query_tokens
+    rng = np.random.default_rng(0)
+    pixels = jnp.asarray(rng.normal(size=(2, t, 224, 224, 3)) * 0.1,
+                         jnp.float32)
+    instr = jnp.tile(jnp.arange(1, 4)[None], (2, 1)).astype(jnp.int32)
+
+    # row 0: pre 3 / post 4; row 1: pre 5 / post 6 (right-padded to 5/6)
+    pre_rows = [[1, 7, 8], [1, 9, 10, 11, 12]]
+    post_rows = [[20, 21, 22, 23], [24, 25, 26, 27, 28, 29]]
+
+    def make(rows, pad):
+        w = max(len(r) for r in rows)
+        out = np.full((len(rows), w), pad, np.int64)
+        m = np.zeros((len(rows), w), np.float32)
+        for i, r in enumerate(rows):
+            out[i, : len(r)] = r
+            m[i, : len(r)] = 1.0
+        return out, m
+
+    pre, pre_m = make(pre_rows, 0)
+    post, post_m = make(post_rows, 0)
+    labels = np.full((2, pre.shape[1] + q + post.shape[1]), -100, np.int64)
+    for i, r in enumerate(post_rows):
+        labels[i, pre.shape[1] + q: pre.shape[1] + q + len(r)] = r
+
+    enc_params = encoder.init(jax.random.PRNGKey(1), pixels[:1],
+                              encoder.init_states(1),
+                              instruction_ids=instr[:1])["params"]
+    dec_params = decoder.init(jax.random.PRNGKey(2),
+                              input_ids=jnp.asarray(pre[:1],
+                                                    jnp.int32))["params"]
+    params = {"encoder": enc_params, "decoder": dec_params}
+
+    batch = {"pixels": pixels, "instruction_ids": instr,
+             "pre_ids": jnp.asarray(pre, jnp.int32),
+             "post_ids": jnp.asarray(post, jnp.int32),
+             "pre_mask": jnp.asarray(pre_m), "post_mask": jnp.asarray(post_m),
+             "labels": jnp.asarray(labels)}
+    total, count = it_loss_parts(encoder, decoder, params, batch,
+                                 jax.random.PRNGKey(3), ltm_on=False)
+
+    solo_total, solo_count = 0.0, 0.0
+    for i in range(2):
+        pre_i = np.asarray([pre_rows[i]], np.int64)
+        post_i = np.asarray([post_rows[i]], np.int64)
+        lab_i = np.concatenate([
+            np.full((1, pre_i.shape[1] + q), -100, np.int64), post_i], axis=1)
+        b_i = {"pixels": pixels[i:i + 1], "instruction_ids": instr[i:i + 1],
+               "pre_ids": jnp.asarray(pre_i, jnp.int32),
+               "post_ids": jnp.asarray(post_i, jnp.int32),
+               "labels": jnp.asarray(lab_i)}
+        s, c = it_loss_parts(encoder, decoder, params, b_i,
+                             jax.random.PRNGKey(3), ltm_on=False)
+        solo_total += float(s)
+        solo_count += float(c)
+    assert float(count) == solo_count
+    np.testing.assert_allclose(float(total), solo_total, rtol=2e-5)
