@@ -108,6 +108,12 @@ def _mc_question_loop(engine, samples, frame_source, store: PredictionStore,
                       return_prompt: str, progress: Optional[Callable] = None,
                       question_batch: int = 1):
     proto = _engine_protocol(engine)
+    if question_batch > 1 and proto == "llama":
+        _mc_question_loop_batched_llama(engine, samples, frame_source, store,
+                                        question_prompt=question_prompt,
+                                        progress=progress,
+                                        question_batch=question_batch)
+        return
     if question_batch > 1 and proto == "mistral":
         _mc_question_loop_batched(engine, samples, frame_source, store,
                                   system=system, question_prompt=question_prompt,
@@ -160,6 +166,31 @@ def _mc_question_loop_batched(engine, samples, frame_source, store,
                                     question_prompt=question_prompt,
                                     answer_prompt=answer_prompt,
                                     return_prompt=return_prompt)
+        for s, pred in zip(group, preds[:real]):
+            store.record(s["qid"], {"answer": s["answer"], "pred": pred,
+                                    "content": s.get("answer_content", "")})
+            done += 1
+            if progress:
+                progress(done, len(pending), s["qid"], pred)
+
+
+def _mc_question_loop_batched_llama(engine, samples, frame_source, store,
+                                    *, question_prompt, progress,
+                                    question_batch):
+    """Batched variant of the llama protocol loop (see the mistral one)."""
+    import numpy as np
+
+    pending = [s for s in samples if s["qid"] not in store]
+    done = 0
+    for g in range(0, len(pending), question_batch):
+        group = pending[g:g + question_batch]
+        real = len(group)
+        padded = group + [group[-1]] * (question_batch - real)
+        chunks = np.concatenate([np.asarray(frame_source(s["video"]))
+                                 for s in padded], axis=1)
+        embs = engine.encode_video(chunks)
+        preds = engine.answer_batch(
+            embs, [s["question"] + question_prompt for s in padded])
         for s, pred in zip(group, preds[:real]):
             store.record(s["qid"], {"answer": s["answer"], "pred": pred,
                                     "content": s.get("answer_content", "")})

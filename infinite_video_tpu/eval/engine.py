@@ -120,6 +120,39 @@ class LLaMAVideoQA:
         return _postprocess(self.tokenizer, tokens, split="###",
                             role_tag="Assistant:")
 
+    def answer_batch(self, video_embs, input_texts, *,
+                     max_new_tokens: int = 300, do_sample: bool = True,
+                     temperature: float = 1.0, top_p: float = 0.9,
+                     rng=None):
+        """Batched QA over stacked video embeddings [B, Q, D] (serving mode,
+        beyond the reference's sequential driver): prompts assemble on host,
+        left-pad to a common width, and decode together."""
+        embs = []
+        for i, text in enumerate(input_texts):
+            prompt = _LLAMA_SYSTEM + text + "###Assistant:"
+            embs.append(self._embed_segments(prompt.split("<ImageHere>"),
+                                             [video_embs[i:i + 1]]))
+        width = max(e.shape[1] for e in embs)
+        batch, mask = [], []
+        for e in embs:
+            pad = width - e.shape[1]
+            batch.append(np.pad(np.asarray(e, np.float32),
+                                ((0, 0), (pad, 0), (0, 0))))
+            mask.append(np.pad(np.ones((1, e.shape[1]), np.float32),
+                               ((0, 0), (pad, 0))))
+        gcfg = GenerationConfig(max_new_tokens=max_new_tokens,
+                                do_sample=do_sample, temperature=temperature,
+                                top_p=top_p, eos_token_id=2, pad_token_id=2,
+                                stop_sequences=((835,), (2277, 29937)),
+                                pad_to_multiple=getattr(self, "pad_to_multiple", 0))
+        tokens = generate(self.decoder, self.dec_params, gcfg,
+                          prompt_embeds=jnp.asarray(np.concatenate(batch, 0)),
+                          prompt_mask=jnp.asarray(np.concatenate(mask, 0)),
+                          rng=rng)
+        return [_postprocess(self.tokenizer, tokens[i:i + 1], split="###",
+                             role_tag="Assistant:")
+                for i in range(len(input_texts))]
+
 
 class MistralVideoQA:
     protocol = "mistral"  # see LLaMAVideoQA.protocol

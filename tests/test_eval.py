@@ -299,3 +299,39 @@ def test_run_moviechat_breakpoint(tmp_path):
         FakeLLaMAEngine(), str(tmp_path),
         frame_source=lambda v: 1 / 0, out_path=out)
     assert len(data2) == 2
+
+
+def test_llama_answer_batch_matches_single_greedy():
+    import jax
+    import jax.numpy as jnp
+
+    from infinite_video_tpu.eval.engine import LLaMAVideoQA
+    from infinite_video_tpu.models.decoder import Decoder, tiny_decoder_config
+
+    cfg = tiny_decoder_config()
+    decoder = Decoder(cfg)
+    params = decoder.init(jax.random.PRNGKey(0),
+                          input_ids=jnp.zeros((1, 4), jnp.int32))["params"]
+
+    class Tok:
+        eos_token_id = 2
+
+        def __call__(self, text, add_special_tokens=False):
+            ids = [3 + sum(map(ord, w)) % 100 for w in text.split()]
+            return {"input_ids": ([1] if add_special_tokens else []) + ids}
+
+        def decode(self, ids, skip_special_tokens=True):
+            return " ".join(f"w{i}" for i in ids)
+
+    eng = LLaMAVideoQA.__new__(LLaMAVideoQA)
+    eng.decoder, eng.dec_params, eng.tokenizer = decoder, params, Tok()
+
+    emb1 = jnp.ones((1, 4, cfg.hidden_size)) * 0.1
+    emb2 = jnp.ones((1, 4, cfg.hidden_size)) * -0.1
+    q1, q2 = "what is happening in this scene", "why though"
+    s1 = LLaMAVideoQA.answer(eng, emb1, q1, max_new_tokens=5, do_sample=False)
+    s2 = LLaMAVideoQA.answer(eng, emb2, q2, max_new_tokens=5, do_sample=False)
+    batch = LLaMAVideoQA.answer_batch(
+        eng, jnp.concatenate([emb1, emb2]), [q1, q2],
+        max_new_tokens=5, do_sample=False)
+    assert batch == [s1, s2]
