@@ -40,6 +40,11 @@ class RunnerConfig:
     ckpt_per_epoch: bool = True
     auto_resume: bool = True
     seed: int = 42
+    # best-checkpoint tracking (runner_base.py:571-597): when eval_fn returns
+    # {best_key: value}, the state with the best value is saved under best/
+    # and reloaded at the end of fit (reload_best).
+    best_key: str = "agg_metrics"
+    reload_best: bool = False
 
 
 class Runner:
@@ -69,6 +74,7 @@ class Runner:
         os.makedirs(cfg.output_dir, exist_ok=True)
         state, global_step = self.resume(state)
         rng = jax.random.PRNGKey(cfg.seed)
+        best_val = float("-inf")
 
         for epoch in range(cfg.max_epochs):
             loader = self.make_loader(epoch, 0)
@@ -97,4 +103,17 @@ class Runner:
             if self.eval_fn is not None:
                 results = self.eval_fn(state, epoch)
                 logger.info(f"epoch {epoch} eval: {results}")
+                val = (results or {}).get(cfg.best_key)
+                if val is not None and val > best_val:
+                    best_val = val
+                    best_dir = os.path.join(cfg.output_dir, "best")
+                    save_train_state(best_dir, global_step, state)
+                    logger.info(
+                        f"new best {cfg.best_key}={val} at step {global_step}")
+        if cfg.reload_best and best_val > float("-inf"):
+            restored, step = restore_train_state(
+                os.path.join(cfg.output_dir, "best"), state)
+            if restored is not None:
+                logger.info(f"reloaded best checkpoint (step {step})")
+                return restored
         return state

@@ -1,5 +1,8 @@
 """Runner integration: epoch loop, checkpointing, auto-resume, MetaLoader skip."""
 
+import os
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -57,3 +60,40 @@ def test_runner_auto_resume_skips_consumed_steps(tmp_path):
     resumed = runner2.fit(state)
     assert int(resumed.step) == int(final.step)
     assert len(seen2) == 0
+
+
+def test_runner_best_checkpoint_tracking(tmp_path):
+    """eval_fn metric drives best-ckpt save + reload_best (runner_base.py
+    best-ckpt semantics)."""
+    import optax
+
+    from infinite_video_tpu.training.runner import Runner, RunnerConfig
+    from infinite_video_tpu.training.trainer import TrainState
+
+    params = {"w": jnp.zeros(3)}
+    tx = optax.sgd(0.1)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+    def step(state, batch, rng):
+        new = jax.tree_util.tree_map(lambda x: x + 1.0, state.params)
+        return TrainState(new, state.opt_state, state.step + 1), {"loss": 0.0}
+
+    class Loader:
+        def __len__(self):
+            return 1
+
+        def __iter__(self):
+            yield "src", {}
+
+    # epoch 0 scores best (0.9), epoch 1 regresses (0.5) -> reload epoch 0
+    scores = {0: 0.9, 1: 0.5}
+
+    def eval_fn(state, epoch):
+        return {"agg_metrics": scores[epoch]}
+
+    cfg = RunnerConfig(output_dir=str(tmp_path), max_epochs=2,
+                       ckpt_freq_steps=0, reload_best=True)
+    final = Runner(cfg, step, lambda e, s: Loader(), eval_fn=eval_fn).fit(state)
+    # best was after epoch 0 => params == 1.0 (one step), not 2.0
+    assert float(final.params["w"][0]) == 1.0
+    assert os.path.isdir(os.path.join(str(tmp_path), "best"))
