@@ -149,13 +149,22 @@ def mlm_loss(logits, labels) -> jnp.ndarray:
     return (ll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
 
 
-def cap_loss(logits, text_labels) -> jnp.ndarray:
+def cap_loss(logits, text_labels, label_smoothing: float = 0.1) -> jnp.ndarray:
     """Caption LM loss over the Q-former text stream in causal mode
     (videochat2_qformer.py:343-371): shifted next-token cross entropy with
-    -100 masking. `logits` cover the text positions only."""
+    -100 masking AND label_smoothing=0.1 — the reference's BertLMHeadModel
+    hard-codes it (Qformer.py:1130-1140; torch semantics: target = (1-eps)·
+    one-hot + eps/K uniform, mean over non-ignored positions). `logits`
+    cover the text positions only."""
     shift_logits = logits[:, :-1]
     shift_labels = text_labels[:, 1:]
-    return mlm_loss(shift_logits, shift_labels)
+    mask = (shift_labels != -100).astype(jnp.float32)
+    safe = jnp.where(shift_labels == -100, 0, shift_labels)
+    logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    smooth = -logp.mean(axis=-1)
+    per_tok = (1.0 - label_smoothing) * nll + label_smoothing * smooth
+    return (per_tok * mask).sum() / jnp.maximum(mask.sum(), 1.0)
 
 
 # --------------------------------------------------------------------------

@@ -109,3 +109,41 @@ def test_causal_text_mode_blocks_future_tokens():
                                rtol=1e-5, atol=1e-6)
     # the changed position itself differs
     assert np.abs(np.asarray(out1[:, -1]) - np.asarray(out2[:, -1])).max() > 1e-4
+
+
+def test_caption_lm_matches_reference_past_kv_pipeline():
+    """Stage-1 caption path: our single joint causal_text pass + cap_loss
+    (label_smoothing=0.1) reproduces the reference's two-step pipeline
+    (vision pass -> past_key_values -> causal text decode with labels,
+    videochat2_qformer.py:343-371) — loss and text logits both match."""
+    import os
+
+    from infinite_video_tpu.convert.qformer import (convert_lm_head_state_dict,
+                                                    convert_qformer_state_dict)
+    from infinite_video_tpu.models.qformer import (QFormer, QFormerConfig,
+                                                   QFormerLMHead)
+    from infinite_video_tpu.training.criterions import cap_loss
+    from tests.conftest import GOLDEN_DIR
+
+    d = np.load(os.path.join(GOLDEN_DIR, "qformer_caplm.npz"))
+    sd = dict(np.load(os.path.join(GOLDEN_DIR, "qformer_caplm_sd.npz")))
+
+    cfg = QFormerConfig(num_layers=2, cross_attention_freq=2,
+                        encoder_width=96, query_length=8, alpha=1.0, ltm=None)
+    params = convert_qformer_state_dict(sd)
+    head = convert_lm_head_state_dict(sd)
+
+    model = QFormer(cfg)
+    q = jnp.asarray(d["query"])
+    hidden, _ = model.apply(
+        {"params": params}, query_embeds=q,
+        encoder_hidden_states=jnp.asarray(d["enc"]), ltm_states=(),
+        input_ids=jnp.asarray(d["cap_ids"], jnp.int32),
+        attention_mask=jnp.ones((1, q.shape[1] + d["cap_ids"].shape[1])),
+        causal_text=True)
+    logits = QFormerLMHead(cfg).apply({"params": head},
+                                      hidden[:, q.shape[1]:])
+    np.testing.assert_allclose(np.asarray(logits), d["logits"],
+                               rtol=2e-4, atol=2e-4)
+    loss = cap_loss(logits, jnp.asarray(d["labels"]))
+    np.testing.assert_allclose(float(loss), float(d["loss"]), rtol=1e-5)

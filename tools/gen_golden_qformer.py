@@ -124,6 +124,43 @@ def run_case(Q, *, tag, num_layers, freq, chunk_len, num_basis, alpha,
           f"N={num_basis} alpha={alpha} text={with_text}")
 
 
+def run_cap_case(Q, *, tag, seed=0):
+    """Stage-1 caption-LM fixture: the reference pipeline is a vision pass
+    with use_cache=True followed by a causal text decode over the returned
+    past_key_values with label_smoothing=0.1 (videochat2_qformer.py:343-371,
+    Qformer.py:1047-1140). The rebuild's single joint causal_text pass must
+    reproduce the loss and text logits exactly (queries never attend to
+    text, so their K/V equal the vision-only pass's)."""
+    torch.manual_seed(seed)
+    model = build(Q, num_layers=2, freq=2, encoder_width=96, num_basis=64,
+                  alpha=1.0, sticky=False, query_len=8)
+
+    query = torch.randn(1, 8, 768) * 0.5
+    enc = torch.randn(1, 40, 96) * 0.5
+    cap_ids = torch.randint(3, 30000, (1, 10))
+    cap_ids[0, 0] = 101                       # BOS slot
+    labels = cap_ids.clone()
+    labels[0, 7:] = -100                      # padded tail ignored
+    attn = torch.cat([torch.ones(1, 8), torch.ones(1, 10)], dim=1)
+
+    with torch.no_grad():
+        vis = model.bert(query_embeds=query, encoder_hidden_states=enc,
+                         encoder_attention_mask=torch.ones(1, enc.shape[1]),
+                         use_cache=True, return_dict=True)
+        out = model(input_ids=cap_ids, attention_mask=attn,
+                    past_key_values=vis.past_key_values, labels=labels,
+                    return_dict=True, is_decoder=True)
+    sd = {k: v.numpy() for k, v in model.state_dict().items()
+          if "long_term_attention" not in k}
+    np.savez_compressed(
+        os.path.join(OUT, f"qformer_{tag}.npz"),
+        query=query.numpy(), enc=enc.numpy(), cap_ids=cap_ids.numpy(),
+        labels=labels.numpy(), loss=out.loss.numpy(),
+        logits=out.logits.numpy())
+    np.savez_compressed(os.path.join(OUT, f"qformer_{tag}_sd.npz"), **sd)
+    print(f"wrote qformer_{tag}: caption-LM loss={float(out.loss):.6f}")
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     Q = load_reference_qformer()
@@ -136,6 +173,8 @@ def main():
     # VC2 shape: 4 layers, freq=2, text input alongside queries.
     run_case(Q, tag="vc2text", num_layers=4, freq=2, chunk_len=8,
              num_basis=64, alpha=0.5, with_text=True, seed=12)
+    # Stage-1 caption LM: past-KV causal decode == our joint causal pass.
+    run_cap_case(Q, tag="caplm", seed=13)
 
 
 if __name__ == "__main__":
