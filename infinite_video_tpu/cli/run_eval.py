@@ -103,28 +103,15 @@ def make_frame_source(video_folder: str, num_frames: int, chunk_len: int,
                         candidates[0])
             frames = read_video_frames(path, num_frames, sampling="middle")
         if hd_num:
-            from infinite_video_tpu.data.hd_utils import hd_transform_padding
+            from infinite_video_tpu.data.hd_utils import tile_stack
             from infinite_video_tpu.data.processors import CLIP_MEAN, CLIP_STD
 
-            f = frames.astype(np.float32)
-            if frames.dtype == np.uint8:
-                f = f / 255.0
-            hd = hd_transform_padding(f, image_size, hd_num)  # [T, H', W', 3]
-            t_total, h, w, c3 = hd.shape
-            gh, gw = h // image_size, w // image_size
-            tiles = hd.reshape(t_total, gh, image_size, gw, image_size, c3)
-            tiles = tiles.transpose(1, 3, 0, 2, 4, 5).reshape(
-                gh * gw, t_total, image_size, image_size, c3)
-            from infinite_video_tpu.data.hd_utils import _resize_bicubic
-
-            thumb = _resize_bicubic(hd, image_size, image_size)[None]
-            tiles = np.concatenate([tiles, thumb], axis=0)  # + global view
-            tiles = ((tiles - np.asarray(CLIP_MEAN, np.float32))
-                     / np.asarray(CLIP_STD, np.float32)).astype(np.float32)
+            tiles = tile_stack(frames, image_size, hd_num,
+                               mean=CLIP_MEAN, std=CLIP_STD)
+            nt, t_total = tiles.shape[0], tiles.shape[1]
             c = t_total // chunk_len
-            nt = tiles.shape[0]
             tiles = tiles[:, : c * chunk_len].reshape(
-                nt, c, chunk_len, image_size, image_size, c3)
+                nt, c, chunk_len, image_size, image_size, tiles.shape[-1])
             return np.ascontiguousarray(tiles.transpose(1, 0, 2, 3, 4, 5))
         return chunk_frames(proc(frames), chunk_len)
 
@@ -260,6 +247,17 @@ def main(argv=None):
 
     from infinite_video_tpu.eval import drivers
     from infinite_video_tpu.eval.protocol import run_name
+
+    if args.hd_num:
+        # HD tile stacks ride the Mistral engine's sequential encode path
+        # (tiles occupy the batch axis; run_egoschema_mistral_hd.py analogue)
+        if args.model != "videochat2":
+            raise SystemExit("--hd-num requires --model videochat2 "
+                             "(the reference HD variant is VideoChat2-only)")
+        if args.question_batch > 1:
+            raise SystemExit("--hd-num is incompatible with "
+                             "--question-batch>1: tiles occupy the batch "
+                             "axis of the encoder")
 
     engine, cfg = build_engine(args)
     num_frames = args.max_int * args.num_samples \

@@ -239,7 +239,7 @@ def _build_qformer_loaders(cfg, mcfg, epoch, tiny=False):
             batch_size=corpora_cfg.get("batch_size", 1),
             anno_root=corpora_cfg.get("anno_root", ""),
             data_root=corpora_cfg.get("data_root", ""),
-            seed=epoch, stage="qformer")
+            seed=epoch, stage="qformer", max_txt_len=max_txt_l)
 
     loaders = {}
     for name, dcfg in cfg.get("datasets", {}).items():
@@ -318,17 +318,25 @@ def _build_it_loaders(cfg, mcfg, epoch, tiny=False, stage="it"):
 
             bs = dcfg.get("batch_size", 1)
             epoch_size = dcfg.get("epoch_size", 1024)
-            wds = WebDatasetShards(
-                dcfg["shards"], processor=proc,
-                shuffle_buffer=dcfg.get("shuffle_buffer", 1000),
-                seed=cfg.get("seed", 42) + epoch,
-                resample=dcfg.get("resample", False),
-                epoch_size=epoch_size)
+            base_seed = cfg.get("seed", 42) + epoch
+
+            def make_wds(round_, _d=dcfg, _p=proc, _s=base_seed,
+                         _n=epoch_size):
+                return WebDatasetShards(
+                    _d["shards"], processor=_p,
+                    shuffle_buffer=_d.get("shuffle_buffer", 1000),
+                    seed=_s + 1013 * round_,
+                    resample=_d.get("resample", False), epoch_size=_n)
 
             class _WdsLoader:
-                def __init__(self, wds, bs, n,
+                """Yields exactly len(self) batches: shards are cycled with
+                a bumped seed when they hold fewer samples than epoch_size
+                (MetaLoader trusts declared lengths — an exhausted iterator
+                mid-epoch would kill training)."""
+
+                def __init__(self, make_wds, bs, n,
                              _prompt=cfg.get("prompt", "<Video></Video> ")):
-                    self.wds, self.bs, self.n = wds, bs, n
+                    self.make_wds, self.bs, self.n = make_wds, bs, n
                     self.prompt = _prompt
 
                 def __len__(self):
@@ -338,22 +346,35 @@ def _build_it_loaders(cfg, mcfg, epoch, tiny=False, stage="it"):
                     import numpy as _np
 
                     t = mcfg.vit.num_frames
+                    target = len(self)
+                    yielded, round_ = 0, 0
                     batch = []
-                    for frames, caption in self.wds:
-                        if frames.shape[0] == 1 and t > 1:
-                            # image corpora: tile to the model's frame count
-                            # (a static video) so image and video batches
-                            # share one train-step executable
-                            frames = _np.repeat(frames, t, axis=0)
-                        batch.append((frames, caption))
-                        if len(batch) == self.bs:
-                            yield collate_pt_batch(
-                                batch, tokenizer,
-                                num_query_tokens=mcfg.total_query_tokens,
-                                prompt=self.prompt)
-                            batch = []
+                    while yielded < target:
+                        got = 0
+                        for frames, caption in self.make_wds(round_):
+                            got += 1
+                            if frames.shape[0] == 1 and t > 1:
+                                # image corpora: tile to the model's frame
+                                # count (a static video) so image and video
+                                # batches share one train-step executable
+                                frames = _np.repeat(frames, t, axis=0)
+                            batch.append((frames, caption))
+                            if len(batch) == self.bs:
+                                yield collate_pt_batch(
+                                    batch, tokenizer,
+                                    num_query_tokens=mcfg.total_query_tokens,
+                                    prompt=self.prompt)
+                                batch = []
+                                yielded += 1
+                                if yielded >= target:
+                                    return
+                        round_ += 1
+                        if got == 0:
+                            raise RuntimeError(
+                                f"webdataset shards yielded no samples "
+                                f"({dcfg['shards']})")
 
-            loaders[name] = _WdsLoader(wds, bs, epoch_size)
+            loaders[name] = _WdsLoader(make_wds, bs, epoch_size)
             continue
         if stage == "pt":
             ds = CaptionDataset(dcfg["ann_file"], dcfg["data_root"], proc,

@@ -280,7 +280,8 @@ def build_corpus_loaders(names: Sequence[str], *, processor, tokenizer,
                          num_frames: int, num_query_tokens: int,
                          batch_size: int = 1, anno_root: str = "",
                          data_root: str = "", dialect: str = "mistral",
-                         seed: int = 0, stage: str = "it"):
+                         seed: int = 0, stage: str = "it",
+                         max_txt_len: int = 32):
     """Named corpora -> {name: loader} for MetaLoader interleaving.
 
     The runnable-recipe layer: a config may say
@@ -310,17 +311,19 @@ def build_corpus_loaders(names: Sequence[str], *, processor, tokenizer,
             sampler = StatefulShardSampler(len(ds), batch_size, seed=seed)
             loaders[corpus.name] = _BatchLoader(
                 ds, sampler, batch_size, tokenizer, num_query_tokens,
-                collate_it_batch, dialect, stage=stage)
+                collate_it_batch, dialect, stage=stage,
+                max_txt_len=max_txt_len)
     return loaders
 
 
 class _BatchLoader:
     def __init__(self, ds, sampler, bs, tokenizer, num_query_tokens, collate,
-                 dialect="mistral", stage="it"):
+                 dialect="mistral", stage="it", max_txt_len=32):
         self.ds, self.sampler, self.bs = ds, sampler, bs
         self.tokenizer, self.q, self.collate = tokenizer, num_query_tokens, collate
         self.dialect = dialect
         self.stage = stage
+        self.max_txt_len = max_txt_len
 
     def _normalize(self, sample):
         """Caption pairs become single-turn conversations (pt-stage prompt)."""
@@ -347,7 +350,8 @@ class _BatchLoader:
                 frames, caption = self.ds[i][:2]
                 batch.append((frames, caption, i))
                 if len(batch) == self.bs:
-                    yield collate_qformer_batch(batch, self.tokenizer)
+                    yield collate_qformer_batch(batch, self.tokenizer,
+                                                max_txt_len=self.max_txt_len)
                     batch = []
             return
         batch = []

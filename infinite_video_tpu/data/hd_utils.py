@@ -18,7 +18,7 @@ from typing import List, Tuple
 import numpy as np
 
 __all__ = ["hd_transform_padding", "hd_transform_no_padding",
-           "find_closest_aspect_ratio", "tile_frames"]
+           "find_closest_aspect_ratio", "tile_frames", "tile_stack"]
 
 
 def _resize_bicubic(frames: np.ndarray, h: int, w: int) -> np.ndarray:
@@ -30,7 +30,13 @@ def _resize_bicubic(frames: np.ndarray, h: int, w: int) -> np.ndarray:
 
 def hd_transform_padding(frames: np.ndarray, image_size: int = 224,
                          hd_num: int = 6) -> np.ndarray:
-    """frames [T, H, W, C] -> scaled + white-padded to 224-multiples."""
+    """frames [T, H, W, C] -> scaled + white-padded to 224-multiples.
+
+    Reference quirk preserved (dataset/hd_utils.py:24-26,46-47): portrait
+    inputs are handled with `flip(-2,-1)` — a MIRROR, not a transpose — while
+    the scale targets use the swapped dims, so portrait videos come out
+    aspect-inverted. That is exactly what the reference model was trained/
+    evaluated with, so we replicate it rather than "fix" it."""
     t, h, w, c = frames.shape
     trans = w < h
     if trans:
@@ -94,3 +100,30 @@ def tile_frames(frames: np.ndarray, image_size: int = 224,
         thumb = _resize_bicubic(frames, image_size, image_size)[:, None]
         tiles = np.concatenate([tiles, thumb], axis=1)
     return tiles.reshape(-1, image_size, image_size, c)
+
+
+def tile_stack(frames: np.ndarray, image_size: int = 224, hd_num: int = 6,
+               add_global: bool = True, use_padding: bool = True,
+               mean=None, std=None) -> np.ndarray:
+    """One-stop HD tiling shared by training collate and the eval frame
+    source: raw float01/uint8 frames [T, H, W, C] -> tile-major stack
+    [n_tiles(+1 global), T, s, s, C], optionally CLIP-normalised.
+
+    Tiles are row-major per frame with time preserved per tile (the layout
+    VideoChat2Encoder.encode_hd consumes)."""
+    f = frames.astype(np.float32)
+    if frames.dtype == np.uint8:
+        f = f / 255.0
+    hd = (hd_transform_padding(f, image_size, hd_num) if use_padding
+          else hd_transform_no_padding(f, image_size, hd_num))
+    t, h, w, c = hd.shape
+    s = image_size
+    gh, gw = h // s, w // s
+    tiles = hd.reshape(t, gh, s, gw, s, c).transpose(1, 3, 0, 2, 4, 5)
+    tiles = tiles.reshape(gh * gw, t, s, s, c)
+    if add_global:
+        tiles = np.concatenate([tiles, _resize_bicubic(hd, s, s)[None]], axis=0)
+    if mean is not None:
+        tiles = ((tiles - np.asarray(mean, np.float32))
+                 / np.asarray(std, np.float32))
+    return np.ascontiguousarray(tiles.astype(np.float32))

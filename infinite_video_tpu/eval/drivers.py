@@ -108,14 +108,8 @@ def _mc_question_loop(engine, samples, frame_source, store: PredictionStore,
                       return_prompt: str, progress: Optional[Callable] = None,
                       question_batch: int = 1):
     proto = _engine_protocol(engine)
-    if question_batch > 1 and proto == "llama":
-        _mc_question_loop_batched_llama(engine, samples, frame_source, store,
-                                        question_prompt=question_prompt,
-                                        progress=progress,
-                                        question_batch=question_batch)
-        return
-    if question_batch > 1 and proto == "mistral":
-        _mc_question_loop_batched(engine, samples, frame_source, store,
+    if question_batch > 1:
+        _mc_question_loop_batched(engine, proto, samples, frame_source, store,
                                   system=system, question_prompt=question_prompt,
                                   answer_prompt=answer_prompt,
                                   return_prompt=return_prompt,
@@ -141,7 +135,7 @@ def _mc_question_loop(engine, samples, frame_source, store: PredictionStore,
             progress(i, len(samples), s["qid"], pred)
 
 
-def _mc_question_loop_batched(engine, samples, frame_source, store,
+def _mc_question_loop_batched(engine, proto, samples, frame_source, store,
                               *, system, question_prompt, answer_prompt,
                               return_prompt, progress, question_batch):
     """Throughput mode beyond the reference's sequential drivers: videos of a
@@ -149,7 +143,8 @@ def _mc_question_loop_batched(engine, samples, frame_source, store,
     run) and answers decode together over left-padded prompts
     (engine.answer_batch). Groups are padded by repeating the last sample so
     one compiled shape serves the whole run; answers are identical to the
-    sequential path (tested)."""
+    sequential path (tested). The encode/answer calls branch on the same
+    declared protocol as the sequential loop."""
     import numpy as np
 
     pending = [s for s in samples if s["qid"] not in store]
@@ -160,37 +155,18 @@ def _mc_question_loop_batched(engine, samples, frame_source, store,
         padded = group + [group[-1]] * (question_batch - real)
         chunks = np.concatenate([np.asarray(frame_source(s["video"]))
                                  for s in padded], axis=1)
-        embs = engine.encode_video(chunks, system=system)
-        preds = engine.answer_batch(embs, [s["question"] for s in padded],
-                                    system=system,
-                                    question_prompt=question_prompt,
-                                    answer_prompt=answer_prompt,
-                                    return_prompt=return_prompt)
-        for s, pred in zip(group, preds[:real]):
-            store.record(s["qid"], {"answer": s["answer"], "pred": pred,
-                                    "content": s.get("answer_content", "")})
-            done += 1
-            if progress:
-                progress(done, len(pending), s["qid"], pred)
-
-
-def _mc_question_loop_batched_llama(engine, samples, frame_source, store,
-                                    *, question_prompt, progress,
-                                    question_batch):
-    """Batched variant of the llama protocol loop (see the mistral one)."""
-    import numpy as np
-
-    pending = [s for s in samples if s["qid"] not in store]
-    done = 0
-    for g in range(0, len(pending), question_batch):
-        group = pending[g:g + question_batch]
-        real = len(group)
-        padded = group + [group[-1]] * (question_batch - real)
-        chunks = np.concatenate([np.asarray(frame_source(s["video"]))
-                                 for s in padded], axis=1)
-        embs = engine.encode_video(chunks)
-        preds = engine.answer_batch(
-            embs, [s["question"] + question_prompt for s in padded])
+        if proto == "mistral":
+            embs = engine.encode_video(chunks, system=system)
+            preds = engine.answer_batch(embs,
+                                        [s["question"] for s in padded],
+                                        system=system,
+                                        question_prompt=question_prompt,
+                                        answer_prompt=answer_prompt,
+                                        return_prompt=return_prompt)
+        else:
+            embs = engine.encode_video(chunks)
+            preds = engine.answer_batch(
+                embs, [s["question"] + question_prompt for s in padded])
         for s, pred in zip(group, preds[:real]):
             store.record(s["qid"], {"answer": s["answer"], "pred": pred,
                                     "content": s.get("answer_content", "")})
@@ -379,13 +355,17 @@ def run_moviechat_breakpoint(engine, anno_dir: str, frame_source,
     moment only. The reference ships only the global-mode driver — this
     implements the benchmark's other half with the intended middle-video
     semantics of the (broken) reference demo (infinityqa.py:233-236,
-    app_gradio.py breakpoint checkbox): all chunks encode under one static
-    executable, the per-chunk embedding mean is masked to the prefix
-    (engine.encode_video_prefix / runtime/streaming.py::stream_until).
+    app_gradio.py breakpoint checkbox). The video encodes ONCE per movie
+    (engine.encode_video_chunks, one static executable); each question's
+    prefix mean over the per-chunk embeddings is a host-side masked mean —
+    MovieChat-1K carries ~10 QAs per movie, so per-question re-encoding
+    would cost ~10x the vision FLOPs. Works with both engine protocols.
 
     Annotation JSONs: {"info": {"video_path", "num_frame"},
     "breakpoint": [{"question", "answer", "time"}, ...]}.
     """
+    import numpy as np
+
     store = PredictionStore(out_path)
     files = sorted(f for f in os.listdir(anno_dir) if f.endswith(".json"))
     for i, fname in enumerate(files):
@@ -394,18 +374,20 @@ def run_moviechat_breakpoint(engine, anno_dir: str, frame_source,
         info = meta.get("info", {})
         video = info.get("video_path", fname.replace(".json", ".mp4"))
         total = float(info.get("num_frame", 0)) or None
-        chunks = None
+        chunk_embs = None
         for j, qa in enumerate(meta.get("breakpoint", [])):
             key = f"{fname}_bp{j}"
             if key in store:
                 continue
-            if chunks is None:
-                chunks = frame_source(video)
-            n_chunks = int(chunks.shape[0])
+            if chunk_embs is None:
+                chunk_embs = np.asarray(
+                    engine.encode_video_chunks(frame_source(video)),
+                    np.float32)                       # [C, B, Q, D]
+            n_chunks = int(chunk_embs.shape[0])
             t = float(qa.get("time", 0))
             frac = (t / total) if total else 1.0
             num_valid = max(1, min(n_chunks, int(math.ceil(frac * n_chunks))))
-            emb = engine.encode_video_prefix(chunks, num_valid)
+            emb = chunk_embs[:num_valid].mean(axis=0)
             pred = engine.answer(emb, qa["question"])
             store.record(key, {"question": qa["question"],
                                "answer": qa.get("answer", ""),

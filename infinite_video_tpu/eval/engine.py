@@ -28,7 +28,8 @@ import numpy as np
 from infinite_video_tpu.runtime.generation import (GenerationConfig, generate,
                                                    host_embed_table,
                                                    interleave_prompt_embeds)
-from infinite_video_tpu.runtime.streaming import (stream_mean_embedding,
+from infinite_video_tpu.runtime.streaming import (stream_chunks,
+                                                  stream_mean_embedding,
                                                   stream_until)
 
 __all__ = ["LLaMAVideoQA", "MistralVideoQA"]
@@ -87,11 +88,29 @@ class LLaMAVideoQA:
 
         self._encode_until = _encode_until
 
+        @jax.jit
+        def _encode_chunks(enc_params, chunks, rng):
+            # per-chunk embeddings [C, B, Q, D] (one scan; breakpoint evals
+            # reuse them for every question's prefix mean)
+            def enc(chunk, states, key):
+                return encoder.apply({"params": enc_params}, chunk, states,
+                                     ltm_rng=key)
+            return stream_chunks(enc, init_states(chunks.shape[1]), chunks,
+                                 rng)[0]
+
+        self._encode_chunks = _encode_chunks
+
     def encode_video(self, chunks: jnp.ndarray, rng=None) -> jnp.ndarray:
         """chunks: [C, B, T, H, W, 3] -> mean video embedding [B, Q, llm_dim]."""
         return self._encode(self.enc_params,
                             jnp.asarray(chunks),
                             rng if rng is not None else jax.random.PRNGKey(0))
+
+    def encode_video_chunks(self, chunks: jnp.ndarray, rng=None) -> jnp.ndarray:
+        """Per-chunk embeddings [C, B, Q, llm_dim] (breakpoint evals)."""
+        return self._encode_chunks(self.enc_params, jnp.asarray(chunks),
+                                   rng if rng is not None
+                                   else jax.random.PRNGKey(0))
 
     def encode_video_prefix(self, chunks: jnp.ndarray, num_valid,
                             rng=None) -> jnp.ndarray:
@@ -197,6 +216,31 @@ class MistralVideoQA:
                                          chunks, rng)[0]
 
         self._encode_hd = _encode_hd
+
+        @jax.jit
+        def _encode_chunks(enc_params, chunks, instr_ids, instr_mask, rng):
+            def enc(chunk, states, key):
+                return encoder.apply({"params": enc_params}, chunk, states,
+                                     instruction_ids=instr_ids,
+                                     instruction_mask=instr_mask, ltm_rng=key)
+            return stream_chunks(enc, init_states(chunks.shape[1]), chunks,
+                                 rng)[0]
+
+        self._encode_chunks = _encode_chunks
+
+    def encode_video_chunks(self, chunks, system: str = "",
+                            rng=None) -> jnp.ndarray:
+        """Per-chunk embeddings [C, B, Q, llm_dim] (breakpoint evals)."""
+        chunks = jnp.asarray(chunks)
+        enc = self.qformer_tokenizer(system, add_special_tokens=True)
+        b = chunks.shape[1]
+        ids = jnp.tile(jnp.asarray([enc["input_ids"]], jnp.int32), (b, 1))
+        mask = jnp.tile(
+            jnp.asarray([enc.get("attention_mask", [1] * ids.shape[1])],
+                        jnp.float32), (b, 1))
+        return self._encode_chunks(self.enc_params, chunks, ids, mask,
+                                   rng if rng is not None
+                                   else jax.random.PRNGKey(0))
 
     def encode_video(self, chunks, system: str = "", rng=None) -> jnp.ndarray:
         """Per-chunk encode_img with the system text as Q-former instruction

@@ -180,8 +180,12 @@ def collate_qformer_batch(
     for i, sample in enumerate(samples):
         frames, caption = sample[0], sample[1]
         pixels.append(frames)
-        ids = tokenizer(caption, add_special_tokens=True)["input_ids"]
-        rows.append(np.asarray(ids[:max_txt_len], np.int64))
+        ids = list(tokenizer(caption, add_special_tokens=True)["input_ids"])
+        if len(ids) > max_txt_len:
+            # HF truncation semantics: content is cut, the trailing special
+            # token ([SEP]) is kept as the final token
+            ids = ids[: max_txt_len - 1] + [ids[-1]]
+        rows.append(np.asarray(ids, np.int64))
         idxs.append(sample[2] if len(sample) > 2 else i)
     text_ids = _pad_rows(rows, pad_token_id)
     text_mask = (text_ids != pad_token_id).astype(np.float32)
@@ -216,35 +220,20 @@ def collate_hd_batch(
                conversation, instruction), ...] — use a raw (non-resizing)
     processor upstream.
     """
-    from infinite_video_tpu.data.hd_utils import (_resize_bicubic,
-                                                  hd_transform_no_padding,
-                                                  hd_transform_padding)
+    from infinite_video_tpu.data.hd_utils import tile_stack
 
     max_tiles = hd_num + (1 if add_global else 0)
     out = _collate_text_parts(samples, tokenizer, max_tiles * num_query_tokens,
                               qformer_tokenizer, max_len, pad_token_id)
 
-    mean_a = np.asarray(mean, np.float32)
-    std_a = np.asarray(std, np.float32)
     s = image_size
     pixel_rows, mask_rows = [], []
     for frames, _conv, _instr in samples:
-        f = frames.astype(np.float32)
-        if frames.dtype == np.uint8:
-            f = f / 255.0
-        hd = (hd_transform_padding(f, s, hd_num) if use_padding
-              else hd_transform_no_padding(f, s, hd_num))
-        t, h, w, c = hd.shape
-        gh, gw = h // s, w // s
-        tiles = hd.reshape(t, gh, s, gw, s, c).transpose(1, 3, 0, 2, 4, 5)
-        tiles = tiles.reshape(gh * gw, t, s, s, c)      # [n_local, T, s, s, C]
-        if add_global:
-            thumb = _resize_bicubic(hd, s, s)[None]     # [1, T, s, s, C]
-            tiles = np.concatenate([tiles, thumb], axis=0)
-        n = tiles.shape[0]
+        tiles = tile_stack(frames, s, hd_num, add_global=add_global,
+                           use_padding=use_padding, mean=mean, std=std)
+        n, t = tiles.shape[0], tiles.shape[1]
         assert n <= max_tiles, (n, max_tiles)
-        tiles = ((tiles - mean_a) / std_a).astype(np.float32)
-        padded = np.zeros((max_tiles, t, s, s, c), np.float32)
+        padded = np.zeros((max_tiles, t, s, s, tiles.shape[-1]), np.float32)
         padded[:n] = tiles
         pixel_rows.append(padded)
         mask_rows.append([1.0] * n + [0.0] * (max_tiles - n))

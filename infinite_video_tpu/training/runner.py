@@ -74,7 +74,14 @@ class Runner:
         os.makedirs(cfg.output_dir, exist_ok=True)
         state, global_step = self.resume(state)
         rng = jax.random.PRNGKey(cfg.seed)
+        # best metric persists across crash/resume (the reference's
+        # best_agg_metric survives in its checkpoint dict)
+        best_file = os.path.join(cfg.output_dir, "best", "METRIC")
         best_val = float("-inf")
+        if cfg.auto_resume and os.path.exists(best_file):
+            with open(best_file) as f:
+                best_val = float(f.read().strip())
+            logger.info(f"resumed best {cfg.best_key}={best_val}")
 
         for epoch in range(cfg.max_epochs):
             loader = self.make_loader(epoch, 0)
@@ -108,6 +115,8 @@ class Runner:
                     best_val = val
                     best_dir = os.path.join(cfg.output_dir, "best")
                     save_train_state(best_dir, global_step, state)
+                    with open(best_file, "w") as f:
+                        f.write(repr(float(val)))
                     logger.info(
                         f"new best {cfg.best_key}={val} at step {global_step}")
         if cfg.reload_best and best_val > float("-inf"):

@@ -268,13 +268,16 @@ def test_run_moviechat_breakpoint(tmp_path):
         protocol = "llama"
 
         def __init__(self):
+            self.encodes = 0
             self.calls = []
 
-        def encode_video_prefix(self, chunks, num_valid, rng=None):
-            self.calls.append(int(num_valid))
-            return chunks
+        def encode_video_chunks(self, chunks, rng=None):
+            self.encodes += 1
+            c = chunks.shape[0]
+            return np.arange(1, c + 1, dtype=np.float32).reshape(c, 1, 1, 1)
 
         def answer(self, emb, question, **kw):
+            self.calls.append(float(emb[0, 0, 0]))
             return f"prefix answer about {question.split()[0]}"
 
     anno = {"info": {"video_path": "m.mp4", "num_frame": 100},
@@ -289,8 +292,10 @@ def test_run_moviechat_breakpoint(tmp_path):
         eng, str(tmp_path), frame_source=lambda v: np.zeros((4, 1, 2)),
         out_path=out)
     assert len(data) == 2
-    # 4 chunks: time 10/100 -> ceil(0.4)=1 chunk; 90/100 -> ceil(3.6)=4
-    assert eng.calls == [1, 4]
+    # ONE encode for the whole movie; prefix means: time 10/100 -> 1 chunk
+    # (mean=1.0); 90/100 -> 4 chunks (mean=2.5)
+    assert eng.encodes == 1
+    assert eng.calls == [1.0, 2.5]
     assert data["movie1.json_bp0"]["num_valid"] == 1
     assert data["movie1.json_bp1"]["num_valid"] == 4
 

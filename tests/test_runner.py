@@ -97,3 +97,43 @@ def test_runner_best_checkpoint_tracking(tmp_path):
     # best was after epoch 0 => params == 1.0 (one step), not 2.0
     assert float(final.params["w"][0]) == 1.0
     assert os.path.isdir(os.path.join(str(tmp_path), "best"))
+
+
+def test_runner_best_value_survives_resume(tmp_path):
+    """A post-crash restart must not let a worse epoch overwrite best/
+    (the best metric persists in best/METRIC)."""
+    import optax
+
+    from infinite_video_tpu.training.runner import Runner, RunnerConfig
+    from infinite_video_tpu.training.trainer import TrainState
+
+    params = {"w": jnp.zeros(2)}
+    tx = optax.sgd(0.1)
+
+    def step(state, batch, rng):
+        new = jax.tree_util.tree_map(lambda x: x + 1.0, state.params)
+        return TrainState(new, state.opt_state, state.step + 1), {"loss": 0.0}
+
+    class Loader:
+        def __len__(self):
+            return 1
+
+        def __iter__(self):
+            yield "src", {}
+
+    cfg = RunnerConfig(output_dir=str(tmp_path), max_epochs=1,
+                       ckpt_freq_steps=0, reload_best=True)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+    # first run: best 0.9 recorded
+    good = Runner(cfg, step, lambda e, s: Loader(),
+                  eval_fn=lambda st, ep: {"agg_metrics": 0.9}).fit(state)
+    assert float(good.params["w"][0]) == 1.0
+
+    # "restart" (fresh Runner, same output dir): epoch scores only 0.5 —
+    # must NOT become the new best; reload returns the 0.9 checkpoint
+    cfg2 = RunnerConfig(output_dir=str(tmp_path), max_epochs=2,
+                        ckpt_freq_steps=0, reload_best=True)
+    final = Runner(cfg2, step, lambda e, s: Loader(),
+                   eval_fn=lambda st, ep: {"agg_metrics": 0.5}).fit(state)
+    assert float(final.params["w"][0]) == 1.0  # still the 0.9-scoring state
