@@ -1,0 +1,153 @@
+"""HTTP serving frontend: routing/session plumbing (stub engine) and the
+tiny-engine end-to-end path (cli.serve -> build_service -> real encode/answer).
+"""
+
+import http.client
+import json
+import threading
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+from infinite_video_tpu.cli.serve import (VideoQAService, build_service,
+                                          make_handler)
+
+
+class _StubEngine:
+    protocol = "mistral"
+
+    def __init__(self):
+        self.encodes = 0
+
+    def encode_video(self, chunks, system=""):
+        self.encodes += 1
+        return np.full((1, 4, 8), float(self.encodes), np.float32)
+
+    def answer(self, emb, question, *, system="", max_new_tokens=100,
+               do_sample=False, rng=None):
+        return f"emb{int(emb[0, 0, 0])} says: {question.split()[0]}"
+
+
+@pytest.fixture
+def server(tmp_path):
+    eng = _StubEngine()
+    service = VideoQAService(
+        eng, lambda path: np.zeros((2, 1, 2, 8, 8, 3), np.float32),
+        model_name="stub", max_sessions=2)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    video = tmp_path / "v.mp4"
+    video.write_bytes(b"not really a video")
+    yield srv.server_port, str(video), eng
+    srv.shutdown()
+
+
+def _req(port, method, path, body=None, headers=None):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    payload = json.dumps(body).encode() if isinstance(body, dict) else body
+    conn.request(method, path, body=payload,
+                 headers=headers or {"Content-Type": "application/json"})
+    r = conn.getresponse()
+    out = json.loads(r.read())
+    conn.close()
+    return r.status, out
+
+
+def test_serve_health_sessions_chat_flow(server):
+    port, video, eng = server
+    status, h = _req(port, "GET", "/healthz")
+    assert status == 200 and h["ok"] and h["protocol"] == "mistral"
+    assert h["sessions"] == 0
+
+    status, s = _req(port, "POST", "/v1/videos", {"video_path": video})
+    assert status == 200 and s["num_chunks"] == 2
+    sid = s["session_id"]
+
+    status, a = _req(port, "POST", f"/v1/sessions/{sid}/chat",
+                     {"question": "what happens?", "max_new_tokens": 8})
+    assert status == 200 and a["answer"] == "emb1 says: what"
+
+    # second turn reuses the stored embedding — no re-encode
+    _req(port, "POST", f"/v1/sessions/{sid}/chat", {"question": "again?"})
+    assert eng.encodes == 1
+
+    status, hist = _req(port, "GET", f"/v1/sessions/{sid}")
+    assert status == 200 and len(hist["history"]) == 2
+    assert hist["history"][0]["question"] == "what happens?"
+
+    status, d = _req(port, "DELETE", f"/v1/sessions/{sid}")
+    assert status == 200 and d["deleted"]
+    status, _ = _req(port, "GET", f"/v1/sessions/{sid}")
+    assert status == 404
+
+
+def test_serve_one_shot_raw_upload_and_errors(server):
+    port, video, eng = server
+
+    status, a = _req(port, "POST", "/v1/answer",
+                     {"video_path": video, "question": "one shot?"})
+    assert status == 200 and a["answer"].endswith("says: one")
+
+    # raw-bytes upload spools to a temp file and opens a session
+    status, s = _req(port, "POST", "/v1/videos", b"\x00\x01fakevideo",
+                     headers={"Content-Type": "application/octet-stream"})
+    assert status == 200 and "session_id" in s
+
+    status, e = _req(port, "POST", "/v1/answer",
+                     {"video_path": "/nonexistent.mp4", "question": "?"})
+    assert status == 400 and "no such video" in e["error"]
+    status, e = _req(port, "POST", "/v1/sessions/nope/chat", {"question": "?"})
+    assert status == 404
+    status, e = _req(port, "POST", f"/v1/sessions/{s['session_id']}/chat",
+                     {"question": "x", "beam_width": 4})
+    assert status == 400 and "beam_width" in e["error"]
+    status, e = _req(port, "POST", f"/v1/sessions/{s['session_id']}/chat",
+                     {"question": "   "})
+    assert status == 400
+    status, _ = _req(port, "GET", "/v1/bogus")
+    assert status == 404
+
+
+def test_serve_lru_eviction(server):
+    port, video, _ = server
+    sids = [_req(port, "POST", "/v1/videos", {"video_path": video})[1]
+            ["session_id"] for _ in range(3)]
+    # max_sessions=2: the oldest session was evicted
+    assert _req(port, "GET", f"/v1/sessions/{sids[0]}")[0] == 404
+    assert _req(port, "GET", f"/v1/sessions/{sids[2]}")[0] == 200
+
+
+def test_serve_tiny_engine_end_to_end(tmp_path):
+    """build_service(--tiny) -> real VideoChat2 encode + generate through the
+    HTTP handler stack (same tiny geometry as the other CLI integration
+    tests, so in-process jit caches are shared)."""
+    cv2 = pytest.importorskip("cv2")
+    from infinite_video_tpu.cli.serve import build_argparser
+
+    video = str(tmp_path / "clip.avi")
+    w = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"MJPG"), 5, (64, 64))
+    for i in range(8):
+        w.write(np.full((64, 64, 3), (i * 20) % 255, np.uint8))
+    w.release()
+
+    args = build_argparser().parse_args(
+        ["--tiny", "--max-int", "2", "--num-samples", "2",
+         "--num-basis", "16"])
+    service = build_service(args)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        status, s = _req(srv.server_port, "POST", "/v1/videos",
+                         {"video_path": video})
+        assert status == 200 and s["num_chunks"] == 2
+        status, a = _req(srv.server_port, "POST",
+                         f"/v1/sessions/{s['session_id']}/chat",
+                         {"question": "what color is the screen?",
+                          "max_new_tokens": 4})
+        assert status == 200
+        assert isinstance(a["answer"], str)
+    finally:
+        srv.shutdown()
