@@ -258,10 +258,13 @@ def main(argv=None):
             raise SystemExit("--hd-num is incompatible with "
                              "--question-batch>1: tiles occupy the batch "
                              "axis of the encoder")
+        if args.benchmark == "moviechat-bp":
+            raise SystemExit("--hd-num is not supported for moviechat-bp "
+                             "(encode_video_chunks takes plain chunk "
+                             "stacks only)")
 
     engine, cfg = build_engine(args)
-    num_frames = args.max_int * args.num_samples \
-        if args.model == "videochat2" else args.max_int * args.num_samples
+    num_frames = args.max_int * args.num_samples
     source = make_frame_source(args.video_folder, num_frames, args.max_int,
                                hd_num=args.hd_num)
 

@@ -141,11 +141,10 @@ class VideoQAService:
             import jax
 
             kw["rng"] = jax.random.PRNGKey(int(opts["seed"]))
-        if self.proto == "llama":  # sampling knobs exist on this protocol only
-            if "temperature" in opts:
-                kw["temperature"] = float(opts["temperature"])
-            if "top_p" in opts:
-                kw["top_p"] = float(opts["top_p"])
+        if "temperature" in opts:
+            kw["temperature"] = float(opts["temperature"])
+        if "top_p" in opts:
+            kw["top_p"] = float(opts["top_p"])
         with self._model_lock:
             if self.proto == "mistral":
                 return self.engine.answer(emb, question, system=self.system,
@@ -222,10 +221,7 @@ def make_handler(service: VideoQAService):
             self.wfile.write(body)
 
         def _body(self) -> bytes:
-            n = int(self.headers.get("Content-Length", 0) or 0)
-            if n > _MAX_BODY:
-                raise ServiceError(413, f"body too large ({n} bytes)")
-            return self.rfile.read(n) if n else b""
+            return self._raw_body
 
         def _json_body(self) -> dict:
             raw = self._body()
@@ -242,6 +238,14 @@ def make_handler(service: VideoQAService):
         def _dispatch(self, method: str):
             parts = [p for p in self.path.split("?")[0].split("/") if p]
             try:
+                # drain the request body BEFORE routing: an error response
+                # with unread body bytes would desync HTTP/1.1 keep-alive
+                # (the next request would parse mid-body)
+                n = int(self.headers.get("Content-Length", 0) or 0)
+                if n > _MAX_BODY:
+                    self.close_connection = True  # can't afford to drain
+                    raise ServiceError(413, f"body too large ({n} bytes)")
+                self._raw_body = self.rfile.read(n) if n else b""
                 if method == "GET" and parts == ["healthz"]:
                     return self._json(200, service.health())
                 if parts[:1] == ["v1"]:

@@ -334,9 +334,10 @@ def _build_it_loaders(cfg, mcfg, epoch, tiny=False, stage="it"):
                 (MetaLoader trusts declared lengths — an exhausted iterator
                 mid-epoch would kill training)."""
 
-                def __init__(self, make_wds, bs, n,
+                def __init__(self, make_wds, bs, n, shards,
                              _prompt=cfg.get("prompt", "<Video></Video> ")):
                     self.make_wds, self.bs, self.n = make_wds, bs, n
+                    self.shards = shards
                     self.prompt = _prompt
 
                 def __len__(self):
@@ -372,9 +373,10 @@ def _build_it_loaders(cfg, mcfg, epoch, tiny=False, stage="it"):
                         if got == 0:
                             raise RuntimeError(
                                 f"webdataset shards yielded no samples "
-                                f"({dcfg['shards']})")
+                                f"({self.shards})")
 
-            loaders[name] = _WdsLoader(make_wds, bs, epoch_size)
+            loaders[name] = _WdsLoader(make_wds, bs, epoch_size,
+                                       dcfg["shards"])
             continue
         if stage == "pt":
             ds = CaptionDataset(dcfg["ann_file"], dcfg["data_root"], proc,

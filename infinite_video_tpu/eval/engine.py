@@ -142,32 +142,25 @@ class LLaMAVideoQA:
     def answer_batch(self, video_embs, input_texts, *,
                      max_new_tokens: int = 300, do_sample: bool = True,
                      temperature: float = 1.0, top_p: float = 0.9,
-                     rng=None):
+                     max_length: int = 2000, rng=None):
         """Batched QA over stacked video embeddings [B, Q, D] (serving mode,
         beyond the reference's sequential driver): prompts assemble on host,
-        left-pad to a common width, and decode together."""
+        left-pad to a common width, and decode together. Per-row prompt
+        truncation matches answer() so batched and sequential runs see the
+        same context."""
         embs = []
         for i, text in enumerate(input_texts):
             prompt = _LLAMA_SYSTEM + text + "###Assistant:"
-            embs.append(self._embed_segments(prompt.split("<ImageHere>"),
-                                             [video_embs[i:i + 1]]))
-        width = max(e.shape[1] for e in embs)
-        batch, mask = [], []
-        for e in embs:
-            pad = width - e.shape[1]
-            batch.append(np.pad(np.asarray(e, np.float32),
-                                ((0, 0), (pad, 0), (0, 0))))
-            mask.append(np.pad(np.ones((1, e.shape[1]), np.float32),
-                               ((0, 0), (pad, 0))))
+            e = self._embed_segments(prompt.split("<ImageHere>"),
+                                     [video_embs[i:i + 1]])
+            begin = max(0, e.shape[1] + max_new_tokens - max_length)
+            embs.append(e[:, begin:])
         gcfg = GenerationConfig(max_new_tokens=max_new_tokens,
                                 do_sample=do_sample, temperature=temperature,
                                 top_p=top_p, eos_token_id=2, pad_token_id=2,
                                 stop_sequences=((835,), (2277, 29937)),
                                 pad_to_multiple=getattr(self, "pad_to_multiple", 0))
-        tokens = generate(self.decoder, self.dec_params, gcfg,
-                          prompt_embeds=jnp.asarray(np.concatenate(batch, 0)),
-                          prompt_mask=jnp.asarray(np.concatenate(mask, 0)),
-                          rng=rng)
+        tokens = _generate_left_padded(self, embs, gcfg, rng)
         return [_postprocess(self.tokenizer, tokens[i:i + 1], split="###",
                              role_tag="Assistant:")
                 for i in range(len(input_texts))]
@@ -228,16 +221,22 @@ class MistralVideoQA:
 
         self._encode_chunks = _encode_chunks
 
-    def encode_video_chunks(self, chunks, system: str = "",
-                            rng=None) -> jnp.ndarray:
-        """Per-chunk embeddings [C, B, Q, llm_dim] (breakpoint evals)."""
-        chunks = jnp.asarray(chunks)
+    def _instruction_batch(self, system: str, b: int):
+        """Tokenize the Q-former instruction once and tile ids/mask to B."""
         enc = self.qformer_tokenizer(system, add_special_tokens=True)
-        b = chunks.shape[1]
         ids = jnp.tile(jnp.asarray([enc["input_ids"]], jnp.int32), (b, 1))
         mask = jnp.tile(
             jnp.asarray([enc.get("attention_mask", [1] * ids.shape[1])],
                         jnp.float32), (b, 1))
+        return ids, mask
+
+    def encode_video_chunks(self, chunks, system: str = "",
+                            rng=None) -> jnp.ndarray:
+        """Per-chunk embeddings [C, B, Q, llm_dim] (breakpoint evals).
+        Plain chunk layout only — HD tile stacks are not supported here
+        (cli/run_eval.py rejects --hd-num for moviechat-bp)."""
+        chunks = jnp.asarray(chunks)
+        ids, mask = self._instruction_batch(system, chunks.shape[1])
         return self._encode_chunks(self.enc_params, chunks, ids, mask,
                                    rng if rng is not None
                                    else jax.random.PRNGKey(0))
@@ -249,26 +248,19 @@ class MistralVideoQA:
         With hd_num set, chunks are tile stacks ([C, n_tiles, T, s, s, 3])."""
         chunks = jnp.asarray(chunks)
         if self.hd_num:
-            enc = self.qformer_tokenizer(system, add_special_tokens=True)
-            ids = jnp.asarray([enc["input_ids"]], jnp.int32)
-            mask = jnp.asarray(
-                [enc.get("attention_mask", [1] * ids.shape[1])], jnp.float32)
+            ids, mask = self._instruction_batch(system, 1)
             return self._encode_hd(
                 self.enc_params, chunks, ids, mask,
                 rng if rng is not None else jax.random.PRNGKey(0))
-        enc = self.qformer_tokenizer(system, add_special_tokens=True)
-        b = chunks.shape[1]
-        ids = jnp.tile(jnp.asarray([enc["input_ids"]], jnp.int32), (b, 1))
-        mask = jnp.tile(
-            jnp.asarray([enc.get("attention_mask", [1] * ids.shape[1])],
-                        jnp.float32), (b, 1))
+        ids, mask = self._instruction_batch(system, chunks.shape[1])
         return self._encode(self.enc_params, chunks, ids, mask,
                             rng if rng is not None else jax.random.PRNGKey(0))
 
     def answer(self, video_emb, question: str, *, system: str = "",
                question_prompt: str = "", answer_prompt: str = "",
                return_prompt: str = "", max_new_tokens: int = 100,
-               do_sample: bool = False, rng=None) -> str:
+               do_sample: bool = False, temperature: float = 1.0,
+               top_p: float = 0.9, rng=None) -> str:
         """[INST] protocol with answer-prompt suffix (run_nextqa_mistral.py:202-299).
 
         Exact get_prompt2 assembly with the eval chat's sep="" :
@@ -281,6 +273,7 @@ class MistralVideoQA:
         segs = prompt.split("<VideoHere>")
         embs = _embed_segments_generic(self, segs, [video_emb])
         gcfg = GenerationConfig(max_new_tokens=max_new_tokens, do_sample=do_sample,
+                                temperature=temperature, top_p=top_p,
                                 eos_token_id=2, pad_token_id=2,
                                 stop_sequences=((2,), (29871, 2)),
                                 pad_to_multiple=getattr(self, "pad_to_multiple", 0))
@@ -296,14 +289,11 @@ class MistralVideoQA:
 
 def _answer_batch(engine, video_embs, questions, *, system="",
                   question_prompt="", answer_prompt="", return_prompt="",
-                  max_new_tokens=100, do_sample=False, rng=None):
+                  max_new_tokens=100, do_sample=False, temperature=1.0,
+                  top_p=0.9, rng=None):
     """Serving-style batched QA: one generate() over left-padded prompts.
 
-    video_embs: [B, Q, D] (stacked per-question video embeddings). Prompts of
-    different token lengths are LEFT-padded (zero embeds + mask) so rows share
-    cache slots; per-row RoPE offsets keep positions correct
-    (models/decoder.py position_offset).
-    """
+    video_embs: [B, Q, D] (stacked per-question video embeddings)."""
     embs = []
     for i, q in enumerate(questions):
         prompt = (f"{system}[INST] <Video><VideoHere></Video> [/INST] "
@@ -311,6 +301,24 @@ def _answer_batch(engine, video_embs, questions, *, system="",
         e = _embed_segments_generic(engine, prompt.split("<VideoHere>"),
                                     [video_embs[i:i + 1]])
         embs.append(e)
+    gcfg = GenerationConfig(max_new_tokens=max_new_tokens, do_sample=do_sample,
+                            temperature=temperature, top_p=top_p,
+                            eos_token_id=2, pad_token_id=2,
+                            stop_sequences=((2,), (29871, 2)),
+                            pad_to_multiple=getattr(engine, "pad_to_multiple", 0))
+    tokens = _generate_left_padded(engine, embs, gcfg, rng)
+    outs = []
+    for i in range(len(questions)):
+        text = _postprocess(engine.tokenizer, tokens[i:i + 1], split="</s>")
+        outs.append(return_prompt + text.strip().split("\n")[0])
+    return outs
+
+
+def _generate_left_padded(engine, embs, gcfg, rng):
+    """One generate() over per-row prompt embeddings of different lengths:
+    rows LEFT-pad (zero embeds + mask) to a common width so they share cache
+    slots; per-row RoPE offsets keep positions correct
+    (models/decoder.py position_offset)."""
     width = max(e.shape[1] for e in embs)
     batch, mask = [], []
     for e in embs:  # host-side left padding (embs are numpy already)
@@ -319,19 +327,10 @@ def _answer_batch(engine, video_embs, questions, *, system="",
                             ((0, 0), (pad, 0), (0, 0))))
         mask.append(np.pad(np.ones((1, e.shape[1]), np.float32),
                            ((0, 0), (pad, 0))))
-    gcfg = GenerationConfig(max_new_tokens=max_new_tokens, do_sample=do_sample,
-                            eos_token_id=2, pad_token_id=2,
-                            stop_sequences=((2,), (29871, 2)),
-                            pad_to_multiple=getattr(engine, "pad_to_multiple", 0))
-    tokens = generate(engine.decoder, engine.dec_params, gcfg,
-                      prompt_embeds=jnp.asarray(np.concatenate(batch, 0)),
-                      prompt_mask=jnp.asarray(np.concatenate(mask, 0)),
-                      rng=rng)
-    outs = []
-    for i in range(len(questions)):
-        text = _postprocess(engine.tokenizer, tokens[i:i + 1], split="</s>")
-        outs.append(return_prompt + text.strip().split("\n")[0])
-    return outs
+    return generate(engine.decoder, engine.dec_params, gcfg,
+                    prompt_embeds=jnp.asarray(np.concatenate(batch, 0)),
+                    prompt_mask=jnp.asarray(np.concatenate(mask, 0)),
+                    rng=rng)
 
 
 def _embed_segments_generic(engine, segments, video_embs):

@@ -114,7 +114,16 @@ class Runner:
                 if val is not None and val > best_val:
                     best_val = val
                     best_dir = os.path.join(cfg.output_dir, "best")
-                    save_train_state(best_dir, global_step, state)
+                    new_ckpt = save_train_state(best_dir, global_step, state)
+                    # single best checkpoint (runner_base overwrites
+                    # checkpoint_best.pth) — drop superseded ckpt_* dirs
+                    for d in os.listdir(best_dir):
+                        path = os.path.join(best_dir, d)
+                        if (d.startswith("ckpt_") and os.path.isdir(path)
+                                and os.path.abspath(path) != new_ckpt):
+                            import shutil
+
+                            shutil.rmtree(path, ignore_errors=True)
                     with open(best_file, "w") as f:
                         f.write(repr(float(val)))
                     logger.info(

@@ -137,3 +137,37 @@ def test_runner_best_value_survives_resume(tmp_path):
     final = Runner(cfg2, step, lambda e, s: Loader(),
                    eval_fn=lambda st, ep: {"agg_metrics": 0.5}).fit(state)
     assert float(final.params["w"][0]) == 1.0  # still the 0.9-scoring state
+
+
+def test_runner_best_keeps_single_checkpoint(tmp_path):
+    """Consecutive improvements must not accumulate best/ckpt_* dirs
+    (runner_base overwrites one checkpoint_best.pth)."""
+    import optax
+
+    from infinite_video_tpu.training.runner import Runner, RunnerConfig
+    from infinite_video_tpu.training.trainer import TrainState
+
+    params = {"w": jnp.zeros(2)}
+    tx = optax.sgd(0.1)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+    def step(state, batch, rng):
+        new = jax.tree_util.tree_map(lambda x: x + 1.0, state.params)
+        return TrainState(new, state.opt_state, state.step + 1), {"loss": 0.0}
+
+    class Loader:
+        def __len__(self):
+            return 1
+
+        def __iter__(self):
+            yield "src", {}
+
+    scores = {0: 0.5, 1: 0.7, 2: 0.9}  # three successive improvements
+    cfg = RunnerConfig(output_dir=str(tmp_path), max_epochs=3,
+                       ckpt_freq_steps=0, reload_best=True)
+    final = Runner(cfg, step, lambda e, s: Loader(),
+                   eval_fn=lambda st, ep: {"agg_metrics": scores[ep]}).fit(state)
+    assert float(final.params["w"][0]) == 3.0  # the 0.9-scoring state
+    ckpts = [d for d in os.listdir(os.path.join(str(tmp_path), "best"))
+             if d.startswith("ckpt_")]
+    assert len(ckpts) == 1, ckpts

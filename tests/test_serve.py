@@ -110,6 +110,28 @@ def test_serve_one_shot_raw_upload_and_errors(server):
     assert status == 404
 
 
+def test_serve_keepalive_survives_errors(server):
+    """An error response must drain the request body first: on a reused
+    HTTP/1.1 connection, unread body bytes would be parsed as the start of
+    the next request (desync)."""
+    port, video, _ = server
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    try:
+        # 404 route with a JSON body the handler never needs
+        conn.request("POST", "/v1/bogus", body=json.dumps({"x": 1}).encode(),
+                     headers={"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 404
+        r.read()
+        # same socket: next request must parse cleanly
+        conn.request("GET", "/healthz")
+        r2 = conn.getresponse()
+        assert r2.status == 200
+        assert json.loads(r2.read())["ok"]
+    finally:
+        conn.close()
+
+
 def test_serve_lru_eviction(server):
     port, video, _ = server
     sids = [_req(port, "POST", "/v1/videos", {"video_path": video})[1]
