@@ -141,6 +141,89 @@ def test_serve_lru_eviction(server):
     assert _req(port, "GET", f"/v1/sessions/{sids[2]}")[0] == 200
 
 
+class _BatchStubEngine:
+    protocol = "mistral"
+
+    def __init__(self, fail=False):
+        self.batch_calls = []
+        self.single_calls = 0
+        self.fail = fail
+
+    def encode_video(self, chunks, system=""):
+        return np.zeros((1, 4, 8), np.float32)
+
+    def answer(self, emb, question, *, system="", **kw):
+        self.single_calls += 1
+        return f"solo: {question}"
+
+    def answer_batch(self, embs, questions, *, system="", **kw):
+        if self.fail:
+            raise RuntimeError("decode exploded")
+        self.batch_calls.append(list(questions))
+        return [f"batched[{len(questions)}]: {q}" for q in questions]
+
+
+def _service_with_batcher(engine, window_ms=250, max_batch=4):
+    return VideoQAService(
+        engine, lambda path: np.zeros((2, 1, 2, 8, 8, 3), np.float32),
+        batch_window_ms=window_ms, max_batch=max_batch)
+
+
+def _concurrent_chats(service, sid, requests):
+    outs, errs = [None] * len(requests), [None] * len(requests)
+
+    def worker(i, q, opts):
+        try:
+            outs[i] = service.chat(sid, q, opts)["answer"]
+        except Exception as e:  # noqa: BLE001 — recorded for assertions
+            errs[i] = e
+
+    threads = [threading.Thread(target=worker, args=(i, q, opts))
+               for i, (q, opts) in enumerate(requests)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    return outs, errs
+
+
+def test_serve_microbatching_coalesces_concurrent_chats(tmp_path):
+    eng = _BatchStubEngine()
+    service = _service_with_batcher(eng)
+    video = tmp_path / "v.mp4"
+    video.write_bytes(b"x")
+    sid = service.open_session(str(video))["session_id"]
+
+    outs, errs = _concurrent_chats(
+        service, sid, [(f"q{i}", {"max_new_tokens": 8}) for i in range(3)])
+    assert errs == [None] * 3
+    # one batched decode, padded to max_batch=4 by repeating the last row
+    assert len(eng.batch_calls) == 1 and len(eng.batch_calls[0]) == 4
+    assert eng.single_calls == 0
+    assert sorted(outs) == [f"batched[4]: q{i}" for i in range(3)]
+
+    # mismatched generation options do NOT coalesce: each runs solo
+    eng.batch_calls.clear()
+    outs, errs = _concurrent_chats(
+        service, sid, [("a b", {"max_new_tokens": 8}),
+                       ("c d", {"max_new_tokens": 16})])
+    assert errs == [None] * 2
+    assert eng.batch_calls == [] and eng.single_calls == 2
+    assert sorted(outs) == ["solo: a b", "solo: c d"]
+
+
+def test_serve_microbatching_propagates_failures(tmp_path):
+    eng = _BatchStubEngine(fail=True)
+    service = _service_with_batcher(eng)
+    video = tmp_path / "v.mp4"
+    video.write_bytes(b"x")
+    sid = service.open_session(str(video))["session_id"]
+    outs, errs = _concurrent_chats(
+        service, sid, [(f"q{i}", {}) for i in range(2)])
+    assert outs == [None, None]
+    assert all(isinstance(e, RuntimeError) for e in errs)
+
+
 def test_serve_tiny_engine_end_to_end(tmp_path):
     """build_service(--tiny) -> real VideoChat2 encode + generate through the
     HTTP handler stack (same tiny geometry as the other CLI integration
