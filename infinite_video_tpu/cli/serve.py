@@ -50,6 +50,7 @@ import time
 import uuid
 from collections import OrderedDict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
 
 __all__ = ["VideoQAService", "build_service", "make_handler", "main"]
 
@@ -244,17 +245,14 @@ class _Pending:
 
     def __init__(self, emb, question, kw):
         self.emb, self.question, self.kw = emb, question, kw
-        # requests batch only with identical generation settings (a shared
-        # rng drives the whole batched decode, so the seed is part of the
-        # identity too — callers asking for different seeds never coalesce)
-        def _hashable(k, v):
-            if k != "rng":
-                return v
-            import numpy as np
-
-            return tuple(int(x) for x in np.asarray(v).ravel())
-
-        self.key = tuple(sorted((k, _hashable(k, v)) for k, v in kw.items()))
+        # requests batch only with identical generation settings. An explicit
+        # seed NEVER coalesces: sampling draws depend on batch size and row
+        # index, so a seeded request is only reproducible run solo — its key
+        # is unique by identity.
+        if "rng" in kw:
+            self.key = ("solo", id(self))
+        else:
+            self.key = tuple(sorted(kw.items()))
         self.done = threading.Event()
         self.result = None
         self.error = None
@@ -268,8 +266,11 @@ class _MicroBatcher:
     vs 91 single-stream, so 8 coalesced chat turns cost ~1/6th each. The
     worker waits up to `window_ms` after the first queued request, groups up
     to `max_batch` compatible requests (same generation options), PADS the
-    group to `max_batch` by repeating the last row — one compiled executable
-    serves every group size — and slices the real answers back out.
+    group to `max_batch` by repeating the last row, and slices the real
+    answers back out. Padding to max_batch (rather than the subgroup size)
+    is deliberate on both axes: one compiled executable serves every group
+    (remote compiles cost seconds-to-minutes), and decode is
+    weight-streaming-bound so the padded rows ride along nearly free.
     """
 
     def __init__(self, service: "VideoQAService", window_ms: int,
@@ -277,12 +278,15 @@ class _MicroBatcher:
         self.service = service
         self.window_s = window_ms / 1000.0
         self.max_batch = max(1, max_batch)
-        self._q: "queue.Queue[_Pending]" = queue.Queue()
+        self._q: "queue.Queue[Optional[_Pending]]" = queue.Queue()
+        self._dead = None  # exception that killed the worker, if any
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="ivt-serve-batcher")
         self._thread.start()
 
     def submit(self, emb, question, kw) -> str:
+        if self._dead is not None:
+            raise ServiceError(503, f"batcher worker died: {self._dead}")
         item = _Pending(emb, question, kw)
         self._q.put(item)
         item.done.wait()
@@ -290,24 +294,50 @@ class _MicroBatcher:
             raise item.error
         return item.result
 
+    def close(self):
+        """Stop the worker (pending requests complete first)."""
+        self._q.put(None)
+        self._thread.join(timeout=30)
+
     def _run(self):
-        while True:
-            first = self._q.get()
-            group = [first]
-            deadline = time.monotonic() + self.window_s
-            while len(group) < self.max_batch:
-                left = deadline - time.monotonic()
-                if left <= 0:
-                    break
+        group = []
+        try:
+            while True:
+                first = self._q.get()
+                if first is None:
+                    return
+                group = [first]
+                deadline = time.monotonic() + self.window_s
+                while len(group) < self.max_batch:
+                    left = deadline - time.monotonic()
+                    if left <= 0:
+                        break
+                    try:
+                        nxt = self._q.get(timeout=left)
+                    except queue.Empty:
+                        break
+                    if nxt is None:
+                        break
+                    group.append(nxt)
+                by_key = OrderedDict()
+                for it in group:
+                    by_key.setdefault(it.key, []).append(it)
+                for items in by_key.values():
+                    self._answer_items(items)
+        except BaseException as e:  # never strand waiters: fail them all
+            self._dead = e
+            pending = []
+            while True:
                 try:
-                    group.append(self._q.get(timeout=left))
+                    pending.append(self._q.get_nowait())
                 except queue.Empty:
                     break
-            by_key = OrderedDict()
-            for it in group:
-                by_key.setdefault(it.key, []).append(it)
-            for items in by_key.values():
-                self._answer_items(items)
+            pending += group
+            for it in pending:
+                if it is not None and not it.done.is_set():
+                    it.error = ServiceError(503, f"batcher worker died: {e}")
+                    it.done.set()
+            raise
 
     def _answer_items(self, items):
         try:
@@ -365,7 +395,11 @@ def make_handler(service: VideoQAService):
                 # drain the request body BEFORE routing: an error response
                 # with unread body bytes would desync HTTP/1.1 keep-alive
                 # (the next request would parse mid-body)
-                n = int(self.headers.get("Content-Length", 0) or 0)
+                try:
+                    n = int(self.headers.get("Content-Length", 0) or 0)
+                except ValueError:
+                    self.close_connection = True  # body length unknowable
+                    raise ServiceError(400, "bad Content-Length")
                 if n > _MAX_BODY:
                     self.close_connection = True  # can't afford to drain
                     raise ServiceError(413, f"body too large ({n} bytes)")

@@ -163,7 +163,10 @@ class _BatchStubEngine:
         return [f"batched[{len(questions)}]: {q}" for q in questions]
 
 
-def _service_with_batcher(engine, window_ms=250, max_batch=4):
+def _service_with_batcher(engine, window_ms=2000, max_batch=4):
+    # generous window: on the 1-CPU CI box thread-start jitter can exceed a
+    # short window and split the group (the batcher fires early once
+    # max_batch requests are queued, so big windows only cost idle waits)
     return VideoQAService(
         engine, lambda path: np.zeros((2, 1, 2, 8, 8, 3), np.float32),
         batch_window_ms=window_ms, max_batch=max_batch)
@@ -210,6 +213,23 @@ def test_serve_microbatching_coalesces_concurrent_chats(tmp_path):
     assert errs == [None] * 2
     assert eng.batch_calls == [] and eng.single_calls == 2
     assert sorted(outs) == ["solo: a b", "solo: c d"]
+
+
+def test_serve_microbatching_seeded_requests_run_solo(tmp_path):
+    """Seeded sampling is only reproducible solo (draws depend on batch size
+    and row index), so identical-seed requests must never coalesce."""
+    eng = _BatchStubEngine()
+    service = _service_with_batcher(eng)
+    video = tmp_path / "v.mp4"
+    video.write_bytes(b"x")
+    sid = service.open_session(str(video))["session_id"]
+    outs, errs = _concurrent_chats(
+        service, sid, [("q one", {"seed": 7, "do_sample": True}),
+                       ("q two", {"seed": 7, "do_sample": True})])
+    assert errs == [None, None]
+    assert eng.batch_calls == [] and eng.single_calls == 2
+    service.batcher.close()
+    assert not service.batcher._thread.is_alive()
 
 
 def test_serve_microbatching_propagates_failures(tmp_path):
