@@ -244,6 +244,23 @@ def test_serve_microbatching_propagates_failures(tmp_path):
     assert all(isinstance(e, RuntimeError) for e in errs)
 
 
+def test_serve_warmup_compiles_and_leaves_no_sessions():
+    """_warmup drives open_session + chat + drop on a synthetic video and
+    must leave the session store empty."""
+    pytest.importorskip("cv2")
+    import argparse
+
+    from infinite_video_tpu.cli.serve import _warmup
+
+    eng = _BatchStubEngine()
+    service = VideoQAService(
+        eng, lambda path: np.zeros((2, 1, 2, 8, 8, 3), np.float32))
+    args = argparse.Namespace(max_int=2, num_samples=2)
+    _warmup(service, args)
+    assert eng.single_calls == 1  # the warmup question was answered
+    assert service.health()["sessions"] == 0
+
+
 def test_serve_tiny_engine_end_to_end(tmp_path):
     """build_service(--tiny) -> real VideoChat2 encode + generate through the
     HTTP handler stack (same tiny geometry as the other CLI integration
