@@ -385,3 +385,17 @@ def test_run_eval_cli_hd_mode(synthetic_benchmark, tmp_path):
     with open(preds[0]) as f:
         data = json.load(f)
     assert "vid0_0" in data and "stats" in data
+
+
+def test_console_entry_points_resolve():
+    """Every [project.scripts] target must import and expose a callable."""
+    import importlib
+    import tomllib
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "pyproject.toml"), "rb") as f:
+        scripts = tomllib.load(f)["project"]["scripts"]
+    assert len(scripts) >= 7
+    for target in scripts.values():
+        mod, fn = target.split(":")
+        assert callable(getattr(importlib.import_module(mod), fn)), target
