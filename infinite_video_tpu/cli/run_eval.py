@@ -26,8 +26,14 @@ import os
 def build_argparser():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--benchmark", required=True,
-                   choices=["nextqa", "nextqa-oe", "egoschema", "videomme",
-                            "moviechat", "moviechat-bp"])
+                   choices=["nextqa", "nextqa-oe", "nextoe", "egoschema",
+                            "videomme", "moviechat", "moviechat-bp"])
+    p.add_argument("--judge", default="",
+                   help="nextoe judged scoring: 'openai' (OPENAI_API_KEY, "
+                        "run_eval_qa_chatgpt.py protocol) or a dotted "
+                        "'module:attr' chat function (messages -> reply)")
+    p.add_argument("--judge-metric", default="GEN",
+                   choices=["GEN", "CI", "DO", "CU", "TU", "CO"])
     p.add_argument("--model", default="videochat2",
                    choices=["videochat2", "infvideollama"])
     p.add_argument("--data-path", required=True, help="annotation csv/json/dir")
@@ -70,6 +76,29 @@ def build_argparser():
     p.add_argument("--shard-id", type=int, default=-1,
                    help="-1 = jax.process_index")
     return p
+
+
+def _resolve_judge(spec: str):
+    """'' -> None; 'openai' -> GPT judge (run_eval_qa_chatgpt.py:41-48);
+    'module:attr' -> any chat function (messages -> reply string)."""
+    if not spec:
+        return None
+    if spec == "openai":
+        from openai import OpenAI
+
+        client = OpenAI()
+
+        def chat(messages):
+            done = client.chat.completions.create(model="gpt-3.5-turbo",
+                                                  messages=messages)
+            return done.choices[0].message.content
+
+        return chat
+    import importlib
+
+    mod, _, attr = spec.partition(":")
+    fn = getattr(importlib.import_module(mod), attr)
+    return fn() if isinstance(fn, type) else fn
 
 
 def make_frame_source(video_folder: str, num_frames: int, chunk_len: int,
@@ -289,9 +318,11 @@ def main(argv=None):
         stats = drivers.run_nextqa_mistral(engine, args.data_path, source, out,
                                            progress, shard=shard,
                                            question_batch=args.question_batch)
-    elif args.benchmark == "nextqa-oe":
-        stats = drivers.run_nextqa_llama(engine, args.data_path, source, out,
-                                         progress)
+    elif args.benchmark in ("nextqa-oe", "nextoe"):
+        stats = drivers.run_nextoe(engine, args.data_path, source, out,
+                                   progress,
+                                   judge_chat_fn=_resolve_judge(args.judge),
+                                   judge_metric=args.judge_metric)
     elif args.benchmark == "egoschema":
         stats = drivers.run_egoschema(engine, args.data_path, source, out,
                                       progress, shard=shard,

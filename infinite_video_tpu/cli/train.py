@@ -407,9 +407,10 @@ def _build_it_loaders(cfg, mcfg, epoch, tiny=False, stage="it"):
                                     num_frames=mcfg.vit.num_frames,
                                     dialect=dcfg.get("dialect", "mistral"))
 
-            def collate(batch):
+            def collate(batch, _dialect=dcfg.get("dialect", "mistral")):
                 return collate_it_batch(batch, tokenizer,
-                                        num_query_tokens=mcfg.total_query_tokens)
+                                        num_query_tokens=mcfg.total_query_tokens,
+                                        dialect=_dialect)
         sampler = StatefulShardSampler(len(ds), dcfg.get("batch_size", 1),
                                        seed=epoch)
 

@@ -328,13 +328,14 @@ class _BatchLoader:
     def _normalize(self, sample):
         """Caption pairs become single-turn conversations (pt-stage prompt)."""
         if len(sample) == 2:
-            from infinite_video_tpu.data.datasets import (
-                mistral_conversation_text, vicuna_conversation_text)
+            from infinite_video_tpu.data import datasets as ds
 
             frames, caption = sample
             qa = [{"q": "", "a": caption}]
-            conv = (mistral_conversation_text(qa) if self.dialect == "mistral"
-                    else vicuna_conversation_text(qa))
+            text_fn = {"mistral": ds.mistral_conversation_text,
+                       "phi": ds.phi_conversation_text,
+                       "vicuna": ds.vicuna_conversation_text}[self.dialect]
+            conv = text_fn(qa)
             return frames, conv, ""
         return sample
 
@@ -359,5 +360,6 @@ class _BatchLoader:
             batch.append(self._normalize(self.ds[i]))
             if len(batch) == self.bs:
                 yield self.collate(batch, self.tokenizer,
-                                   num_query_tokens=self.q)
+                                   num_query_tokens=self.q,
+                                   dialect=self.dialect)
                 batch = []

@@ -28,7 +28,8 @@ from infinite_video_tpu.data.loader import retrying
 from infinite_video_tpu.data.video_reader import read_video_frames
 
 __all__ = ["mistral_conversation_text", "vicuna_conversation_text",
-           "tokenize_conversation", "InstructionDataset", "CaptionDataset"]
+           "phi_conversation_text", "tokenize_conversation",
+           "InstructionDataset", "CaptionDataset", "ANSWER_PATTERNS"]
 
 
 def mistral_conversation_text(qa: Sequence[Dict], *, system: str = "",
@@ -57,6 +58,40 @@ def vicuna_conversation_text(qa: Sequence[Dict], *, system: str = "",
         conv += human + "###" + "Assistant: " + a + "###"
         first = False
     return conv
+
+
+def phi_conversation_text(qa: Sequence[Dict], *, system: str = "",
+                          instruction: str = "",
+                          media_tokens: str = "<Video></Video>",
+                          msg: str = "") -> str:
+    """Phi-3 chat dialect (infty-VideoChat2/dataset/it_dataset_phi.py:42-103):
+    optional "<|system|>\\n...<|end|>\\n" header (system + per-sample
+    instruction), then "<|user|>\\n q <|end|>\\n<|assistant|>\\n a <|end|>\\n"
+    turns; the media tokens lead the first user turn."""
+    human_start, human_end, assist_end = (
+        "<|user|>\n", "<|end|>\n<|assistant|>\n", "<|end|>\n")
+    header = system
+    if instruction:
+        header += instruction
+    conv = f"<|system|>\n{header}<|end|>\n" if header else ""
+    for idx, turn in enumerate(qa):
+        q, a = turn.get("q", ""), turn["a"]
+        if idx == 0:
+            lead = media_tokens + msg.rstrip() + "\n"
+            conv += human_start + lead + (q.strip() + human_end if q
+                                          else human_end)
+        else:
+            conv += human_start + q.strip() + human_end
+        conv += a.strip() + assist_end
+    return conv.strip()
+
+
+# dialect -> (answer open tag, answer close tag) for tokenize_conversation
+ANSWER_PATTERNS = {
+    "mistral": ("[/INST]", "</s>"),
+    "vicuna": ("Assistant: ", "###"),
+    "phi": ("<|assistant|>\n", "<|end|>\n"),
+}
 
 
 def tokenize_conversation(tokenizer, conversation: str, *,
@@ -111,7 +146,7 @@ class InstructionDataset:
     data_root: str
     processor: Callable
     num_frames: int = 8
-    dialect: str = "mistral"          # "mistral" | "vicuna"
+    dialect: str = "mistral"          # "mistral" | "vicuna" | "phi"
     system: str = ""
     random_shuffle: bool = True
     num_tries: int = 3
@@ -138,6 +173,9 @@ class InstructionDataset:
         if self.dialect == "mistral":
             conv = mistral_conversation_text(qa, system=self.system,
                                              instruction=instruction)
+        elif self.dialect == "phi":
+            conv = phi_conversation_text(qa, system=self.system,
+                                         instruction=instruction)
         else:
             conv = vicuna_conversation_text(qa, system=self.system)
         return frames, conv, instruction

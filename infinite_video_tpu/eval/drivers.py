@@ -224,6 +224,27 @@ def run_nextqa_llama(engine, anno_csv: str, frame_source, out_path: str,
     return store.data
 
 
+def run_nextoe(engine, anno_csv: str, frame_source, out_path: str,
+               progress=None, judge_chat_fn=None,
+               judge_metric: str = "GEN") -> Dict:
+    """Named NExT-OE driver (run_inference_inf_video_llama_nextoe.py): the
+    open-ended generation protocol of `run_nextqa_llama` (no options passed
+    to the prompt), then — when a judge chat function is supplied — the
+    chained GPT-judge scoring stage (validate/run_eval_qa_chatgpt.py) over
+    the prediction store, written next to the predictions as *.judged.json."""
+    data = run_nextqa_llama(engine, anno_csv, frame_source, out_path, progress)
+    if judge_chat_fn is None:
+        return data
+    from infinite_video_tpu.eval.judges import score_predictions
+
+    verdict = score_predictions(data, judge_chat_fn, metric=judge_metric)
+    judged_path = out_path.replace(".json", ".judged.json")
+    with open(judged_path, "w", encoding="utf-8") as f:
+        json.dump(verdict, f, indent=1)
+    return {"preds": data, "judged_path": judged_path,
+            "accuracy": verdict["accuracy"], "mean_score": verdict["mean_score"]}
+
+
 def run_egoschema(engine, anno_csv: str, frame_source, out_path: str,
                   progress=None, shard=None, question_batch: int = 1) -> Dict:
     """EgoSchema MC; accuracy via exact-option matching; predictions JSON is

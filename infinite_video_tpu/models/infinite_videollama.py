@@ -113,7 +113,9 @@ class InfVideoLLaMAEncoder(nn.Module):
     def setup(self):
         cfg = self.cfg
         self.vit = VisionTransformer(cfg.vit, name="visual_encoder")
-        self.ln_vision = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32,
+        # blip2.py:76,105: fp32-forcing LayerNorm at torch's default eps=1e-5
+        # (the VC2 side uses eps=1e-12 — blip2/blip2.py:88; they differ).
+        self.ln_vision = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                                       name="ln_vision")
         self.frame_qformer = QFormer(cfg.frame_qformer, name="Qformer")
         self.video_qformer = QFormer(cfg.video_qformer, name="video_Qformer")
@@ -123,10 +125,11 @@ class InfVideoLLaMAEncoder(nn.Module):
         self.video_query_tokens = self.param(
             "video_query_tokens", nn.initializers.normal(0.02),
             (1, cfg.num_video_query_token, cfg.video_qformer.hidden_size))
-        # Kept for checkpoint-shape parity; numerically unused (see module doc).
+        # Kept for checkpoint-shape parity; numerically unused (see module
+        # doc). Width is the *frame* Q-former hidden (infinityqa.py:203).
         self.video_frame_position_embedding = self.param(
             "video_frame_position_embedding", nn.initializers.normal(0.02),
-            (cfg.max_frame_pos, cfg.video_qformer.hidden_size))
+            (cfg.max_frame_pos, cfg.frame_qformer.hidden_size))
         self.llama_proj = nn.Dense(cfg.decoder.hidden_size,
                                    dtype=cfg.video_qformer.dtype, name="llama_proj")
 
@@ -151,23 +154,29 @@ class InfVideoLLaMAEncoder(nn.Module):
         ltm_states: Tuple,
         ltm_rng: Optional[jax.Array] = None,
         ltm_on: bool = True,
+        sticky_bins: Tuple = (),
     ):
         """One streaming step: video Q-former + projection to LLM width.
 
         Returns (llama_embeds [B, num_video_query_token, llm_width], states).
+        `sticky_bins` (one [B, S] int array per cross layer) replays recorded
+        sticky Categorical draws — parity-test hook (ops/ltm.py).
         """
         b = frame_hidden.shape[0]
         vq = jnp.tile(self.video_query_tokens, (b, 1, 1))
         hidden, new_states = self.video_qformer(
             query_embeds=vq, encoder_hidden_states=frame_hidden,
-            ltm_states=ltm_states, ltm_rng=ltm_rng, ltm_on=ltm_on)
+            ltm_states=ltm_states, ltm_rng=ltm_rng, ltm_on=ltm_on,
+            sticky_bins=sticky_bins)
         return self.llama_proj(hidden), new_states
 
     def __call__(self, pixels: jnp.ndarray, ltm_states: Tuple,
-                 ltm_rng: Optional[jax.Array] = None, ltm_on: bool = True):
+                 ltm_rng: Optional[jax.Array] = None, ltm_on: bool = True,
+                 sticky_bins: Tuple = ()):
         """Full chunk step: pixels -> LLM embeddings (+ updated LTM states)."""
         frame_hidden = self.encode_frames(pixels)
-        return self.encode_video_chunk(frame_hidden, ltm_states, ltm_rng, ltm_on)
+        return self.encode_video_chunk(frame_hidden, ltm_states, ltm_rng, ltm_on,
+                                       sticky_bins)
 
     def init_states(self, batch: int = 1):
         return init_ltm_states(self.cfg.video_qformer, batch)

@@ -117,6 +117,7 @@ class MultiHeadAttention(nn.Module):
         ltm_state: Optional[ltm_ops.LTMState] = None,
         ltm_rng: Optional[jax.Array] = None,
         deterministic: bool = True,
+        sticky_bins: Optional[jnp.ndarray] = None,  # [B, S] replayed draws
     ):
         cfg = self.cfg
         h, d = cfg.num_heads, cfg.head_dim
@@ -145,7 +146,8 @@ class MultiHeadAttention(nn.Module):
             # the memory is training-free (Qformer.py:221).
             lcfg = cfg.ltm
             x = ltm_ops.pool_frames(lcfg, kv_states.astype(jnp.float32))
-            B = ltm_ops.consolidate(lcfg, ltm_state, x, ltm_rng)
+            B = ltm_ops.consolidate(lcfg, ltm_state, x, ltm_rng,
+                                    sticky_bins=sticky_bins)
             ltm_keys = key(B.astype(dt)).astype(jnp.float32)
             ltm_values = value(B.astype(dt)).astype(jnp.float32)
             ltm_ctx, mass = ltm_ops.continuous_attention(
@@ -196,6 +198,7 @@ class QFormerLayer(nn.Module):
         ltm_state: Optional[ltm_ops.LTMState] = None,
         ltm_rng: Optional[jax.Array] = None,
         deterministic: bool = True,
+        sticky_bins: Optional[jnp.ndarray] = None,
     ):
         cfg = self.cfg
         attn_out, _ = MultiHeadAttention(cfg, is_cross=False, name="attention")(
@@ -212,7 +215,7 @@ class QFormerLayer(nn.Module):
                 )(
                     q_out, encoder_hidden_states, encoder_mask_bias,
                     ltm_state=ltm_state, ltm_rng=ltm_rng,
-                    deterministic=deterministic,
+                    deterministic=deterministic, sticky_bins=sticky_bins,
                 )
             q_ff = FeedForward(cfg, name="ffn_query")(q_out, deterministic)
             if attn_out.shape[1] > query_length:
@@ -251,6 +254,7 @@ class QFormer(nn.Module):
         deterministic: bool = True,
         ltm_on: bool = True,
         causal_text: bool = False,
+        sticky_bins: Sequence[Optional[jnp.ndarray]] = (),  # per cross layer
     ):
         cfg = self.cfg
         batch = query_embeds.shape[0]
@@ -303,14 +307,17 @@ class QFormer(nn.Module):
             has_cross = i % cfg.cross_attention_freq == 0
             state = None
             rng_i = None
+            bins_i = None
             if has_cross and use_ltm:
                 state = ltm_states[cross_idx]
                 rng_i = jax.random.fold_in(ltm_rng, i)
+                if cross_idx < len(sticky_bins):
+                    bins_i = sticky_bins[cross_idx]
             hidden, new_state = QFormerLayer(cfg, has_cross=has_cross,
                                              name=f"layer_{i}")(
                 hidden, self_bias, encoder_hidden_states, enc_bias,
                 query_length, ltm_state=state, ltm_rng=rng_i,
-                deterministic=deterministic,
+                deterministic=deterministic, sticky_bins=bins_i,
             )
             if has_cross:
                 if use_ltm:

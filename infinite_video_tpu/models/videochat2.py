@@ -131,6 +131,7 @@ class VideoChat2Encoder(nn.Module):
         instruction_mask: Optional[jnp.ndarray] = None,   # [B, S_txt] 0/1
         ltm_rng: Optional[jax.Array] = None,
         ltm_on: bool = True,
+        sticky_bins: Tuple = (),
     ):
         """One chunk step (encode_img, videochat2_it_mistral.py:181-253).
 
@@ -140,7 +141,8 @@ class VideoChat2Encoder(nn.Module):
         return self.encode_video_chunk(feats, ltm_states,
                                        instruction_ids=instruction_ids,
                                        instruction_mask=instruction_mask,
-                                       ltm_rng=ltm_rng, ltm_on=ltm_on)
+                                       ltm_rng=ltm_rng, ltm_on=ltm_on,
+                                       sticky_bins=sticky_bins)
 
     def encode_frames(self, pixels: jnp.ndarray) -> jnp.ndarray:
         """Stateless vision phase: [B, T, H, W, C] -> fp32 [B, T*L, C].
@@ -159,6 +161,7 @@ class VideoChat2Encoder(nn.Module):
         instruction_mask: Optional[jnp.ndarray] = None,
         ltm_rng: Optional[jax.Array] = None,
         ltm_on: bool = True,
+        sticky_bins: Tuple = (),
     ):
         """Stateful phase: Q-former (+LTM) + projection."""
         b = feats.shape[0]
@@ -176,7 +179,7 @@ class VideoChat2Encoder(nn.Module):
         hidden, new_states = self.qformer(
             query_embeds=q, encoder_hidden_states=feats, ltm_states=ltm_states,
             input_ids=instruction_ids, attention_mask=attention_mask,
-            ltm_rng=ltm_rng, ltm_on=ltm_on)
+            ltm_rng=ltm_rng, ltm_on=ltm_on, sticky_bins=sticky_bins)
         out = self.mistral_proj(hidden[:, : q.shape[1]])
         return out, new_states
 

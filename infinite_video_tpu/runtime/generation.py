@@ -75,18 +75,25 @@ class GenerationConfig:
     pad_to_multiple: int = 0
 
 
-def _sample_top_p(key, logits: jnp.ndarray, temperature: float, top_p: float):
+def _top_p_filter(logits: jnp.ndarray, temperature: float, top_p: float):
+    """Temperature + nucleus filtering with HF warper semantics
+    (TemperatureLogitsWarper then TopPLogitsWarper): keep the smallest prefix
+    of descending-probability tokens whose cumulative mass reaches top_p —
+    tokens whose *preceding* cumulative mass < top_p are kept. Returns the
+    filtered (temperature-scaled) logits with dropped entries at -inf."""
     logits = logits / jnp.maximum(temperature, 1e-6)
     sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
     sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
     cum = jnp.cumsum(sorted_probs, axis=-1)
-    # keep the smallest set with cumulative prob >= top_p (HF convention:
-    # tokens whose *preceding* cumulative mass < top_p are kept)
     cutoff_mask = (cum - sorted_probs) < top_p
     threshold = jnp.min(jnp.where(cutoff_mask, sorted_logits, jnp.inf), axis=-1,
                         keepdims=True)
-    filtered = jnp.where(logits >= threshold, logits, -jnp.inf)
-    return jax.random.categorical(key, filtered, axis=-1)
+    return jnp.where(logits >= threshold, logits, -jnp.inf)
+
+
+def _sample_top_p(key, logits: jnp.ndarray, temperature: float, top_p: float):
+    return jax.random.categorical(
+        key, _top_p_filter(logits, temperature, top_p), axis=-1)
 
 
 def _apply_repetition_penalty(logits, tokens, num_generated, penalty: float,

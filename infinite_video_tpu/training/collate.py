@@ -14,7 +14,7 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
-from infinite_video_tpu.data.datasets import tokenize_conversation
+from infinite_video_tpu.data.datasets import ANSWER_PATTERNS, tokenize_conversation
 
 __all__ = ["collate_it_batch", "collate_pt_batch", "collate_qformer_batch",
            "collate_hd_batch", "VIDEO_PLACEHOLDER"]
@@ -37,10 +37,13 @@ def _collate_text_parts(
     qformer_tokenizer=None,
     max_len: int = 512,
     pad_token_id: int = 0,
+    dialect: str = "mistral",
 ) -> Dict[str, np.ndarray]:
     """Shared IT text collation: conversation split at the video placeholder,
-    answer spans label-unmasked, label row [-100×pre][-100×video][post]."""
+    answer spans label-unmasked, label row [-100×pre][-100×video][post].
+    `dialect` selects the answer-span delimiters (ANSWER_PATTERNS)."""
     qformer_tokenizer = qformer_tokenizer or tokenizer
+    answer_pattern = ANSWER_PATTERNS[dialect]
     pre_rows, post_rows, post_label_rows, instr_rows = [], [], [], []
     for _frames, conversation, instruction in samples:
         if VIDEO_PLACEHOLDER in conversation:
@@ -50,7 +53,8 @@ def _collate_text_parts(
         pre_ids = np.asarray(
             tokenizer(pre_text, add_special_tokens=True)["input_ids"], np.int64)
         post_ids, post_labels = tokenize_conversation(
-            tokenizer, post_text, max_len=max_len)
+            tokenizer, post_text, assistant_pattern=answer_pattern,
+            max_len=max_len)
         # tokenize_conversation adds special tokens; drop a leading BOS on the
         # post side (the sequence continues mid-prompt after the video).
         if len(post_ids) and post_ids[0] == getattr(tokenizer, "bos_token_id", 1):
@@ -97,11 +101,12 @@ def collate_it_batch(
     qformer_tokenizer=None,
     max_len: int = 512,
     pad_token_id: int = 0,
+    dialect: str = "mistral",
 ) -> Dict[str, np.ndarray]:
     """samples: [(frames [T,H,W,3], conversation, instruction), ...] ->
     {pixels, instruction_ids, instruction_mask, pre_ids, post_ids, labels}."""
     out = _collate_text_parts(samples, tokenizer, num_query_tokens,
-                              qformer_tokenizer, max_len, pad_token_id)
+                              qformer_tokenizer, max_len, pad_token_id, dialect)
     out["pixels"] = np.stack([s[0] for s in samples])
     return out
 

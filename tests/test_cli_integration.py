@@ -399,3 +399,81 @@ def test_console_entry_points_resolve():
     for target in scripts.values():
         mod, fn = target.split(":")
         assert callable(getattr(importlib.import_module(mod), fn)), target
+
+
+def test_train_cli_phi_dialect_tiny(tmp_path):
+    """Phi lane, data side (it_dataset_phi.py:15-118): phi prompt dialect
+    through the full stage-3 launcher in --tiny mode."""
+    cv2 = pytest.importorskip("cv2")
+    vids = tmp_path / "videos"
+    vids.mkdir()
+    w = cv2.VideoWriter(str(vids / "v0.avi"),
+                        cv2.VideoWriter_fourcc(*"MJPG"), 5, (224, 224))
+    for i in range(4):
+        w.write(np.full((224, 224, 3), 20 * i, np.uint8))
+    w.release()
+    ann = [{"video": "v0.avi",
+            "qa": [{"i": "watch", "q": "what?", "a": "a thing"}]}]
+    ann_file = tmp_path / "ann.json"
+    ann_file.write_text(json.dumps(ann))
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(f"""
+seed: 3
+max_epochs: 1
+model:
+  llm_family: phi
+  num_frames: 2
+optimizer: {{lr: 1.0e-4}}
+scheduler: {{warmup_steps: 1, total_steps: 2}}
+datasets:
+  toy:
+    ann_file: {ann_file}
+    data_root: {vids}
+    batch_size: 1
+    dialect: phi
+""")
+    from infinite_video_tpu.cli import train as train_cli
+
+    out_dir = str(tmp_path / "run")
+    train_cli.main(["--config", str(cfg), "--stage", "it",
+                    "--output-dir", out_dir, "--tiny"])
+    ckpts = [d for d in os.listdir(out_dir) if d.startswith("ckpt_")]
+    assert ckpts, "no checkpoint written by the phi training run"
+
+
+def test_stage3_phi_config_loads():
+    """configs/train_stage3_phi.yaml resolves via _base_ with the phi lane."""
+    from infinite_video_tpu.utils.config import load_config
+
+    base = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "infinite_video_tpu", "configs")
+    cfg = load_config(os.path.join(base, "train_stage3_phi.yaml"))
+    assert cfg.model["llm_family"] == "phi"
+    assert cfg.corpora["dialect"] == "phi"
+    assert cfg.optimizer["lr"] == 2.0e-5  # inherited from the base stage-3
+
+
+def test_run_eval_cli_nextoe_judged(synthetic_benchmark, tmp_path):
+    """Named NExT-OE path (run_inference_inf_video_llama_nextoe.py) chaining
+    prediction store -> judge scoring (run_eval_qa_chatgpt.py) in one command."""
+    from infinite_video_tpu.cli import run_eval
+
+    anno, vids = synthetic_benchmark
+    out_dir = str(tmp_path / "out_oe")
+    run_eval.main([
+        "--benchmark", "nextoe", "--model", "videochat2", "--tiny",
+        "--data-path", anno, "--video-folder", vids,
+        "--output-dir", out_dir, "--max-int", "2", "--num-samples", "2",
+        "--num-basis", "16", "--llm", "unused-with-tiny",
+        "--judge", "tests.judge_stub:chat",
+    ])
+    judged = []
+    for root, _, files in os.walk(out_dir):
+        judged += [os.path.join(root, f) for f in files
+                   if f.endswith(".judged.json")]
+    assert judged, "no judged verdict file written"
+    with open(judged[0]) as f:
+        verdict = json.load(f)
+    assert verdict["accuracy"] == 1.0          # stub says yes to everything
+    assert verdict["mean_score"] == 4.0
+    assert len(verdict["results"]) == 2
