@@ -477,3 +477,127 @@ def test_run_eval_cli_nextoe_judged(synthetic_benchmark, tmp_path):
     assert verdict["accuracy"] == 1.0          # stub says yes to everything
     assert verdict["mean_score"] == 4.0
     assert len(verdict["results"]) == 2
+
+
+def _tiny_decoder_hf_state_dict(rng, hidden=96, layers=2, kv=48, inter=192,
+                                vocab=128):
+    """Tiny DecoderConfig geometry in HF naming (what convert_decoder eats)."""
+    import torch
+
+    def t(*shape):
+        return torch.tensor(rng.normal(size=shape).astype(np.float32) * 0.02)
+
+    sd = {"model.embed_tokens.weight": t(vocab, hidden),
+          "model.norm.weight": torch.ones(hidden),
+          "lm_head.weight": t(vocab, hidden)}
+    for i in range(layers):
+        L = f"model.layers.{i}"
+        sd[f"{L}.input_layernorm.weight"] = torch.ones(hidden)
+        sd[f"{L}.post_attention_layernorm.weight"] = torch.ones(hidden)
+        sd[f"{L}.self_attn.q_proj.weight"] = t(hidden, hidden)
+        sd[f"{L}.self_attn.k_proj.weight"] = t(kv, hidden)
+        sd[f"{L}.self_attn.v_proj.weight"] = t(kv, hidden)
+        sd[f"{L}.self_attn.o_proj.weight"] = t(hidden, hidden)
+        sd[f"{L}.mlp.gate_proj.weight"] = t(inter, hidden)
+        sd[f"{L}.mlp.up_proj.weight"] = t(inter, hidden)
+        sd[f"{L}.mlp.down_proj.weight"] = t(hidden, inter)
+    return sd
+
+
+def test_convert_cli_videochat2_end_to_end(tmp_path, capsys):
+    """ivt-convert dress rehearsal (VERDICT r2 #6): stage ckpt + LoRA + HF
+    decoder shards -> unconsumed report, orbax write, smoke decode — the
+    day-1-with-real-weights command (run_nextqa_mistral.py:470-487 chain)."""
+    import torch
+
+    from infinite_video_tpu.cli import convert as convert_cli
+
+    rng = np.random.default_rng(0)
+
+    def t(*shape):
+        return torch.tensor(rng.normal(size=shape).astype(np.float32) * 0.02)
+
+    stage = {
+        "query_tokens": t(1, 8, 64),
+        "extra_query_tokens": t(1, 4, 64),
+        "mistral_proj.weight": t(96, 64),
+        "mistral_proj.bias": t(96),
+        "vision_layernorm.weight": torch.ones(48),
+        "vision_layernorm.bias": torch.zeros(48),
+        # stage-3 LoRA adapters under the peft wrapper prefix
+        "mistral_model.base_model.model.model.layers.0.self_attn.q_proj"
+        ".lora_A.weight": t(16, 96),
+        "mistral_model.base_model.model.model.layers.0.self_attn.q_proj"
+        ".lora_B.weight": t(96, 16),
+    }
+    stage_p = str(tmp_path / "stage3.pth")
+    torch.save({"model": stage}, stage_p)
+
+    llm_dir = tmp_path / "llm"
+    llm_dir.mkdir()
+    dec_sd = _tiny_decoder_hf_state_dict(rng)
+    torch.save(dec_sd, str(llm_dir / "pytorch_model-00001.bin"))
+
+    out = str(tmp_path / "out")
+    convert_cli.main(["--model", "videochat2", "--tiny",
+                      "--stage-ckpt", stage_p, "--llm", str(llm_dir),
+                      "--lora", stage_p, "--output-dir", out,
+                      "--smoke-decode"])
+    printed = capsys.readouterr().out
+    assert "unconsumed keys: 0" in printed
+    assert "smoke decode OK" in printed
+
+    with open(os.path.join(out, "unconsumed_report.json")) as f:
+        assert all(v == [] for v in json.load(f).values())
+
+    # orbax tree restores; overlay + LoRA actually landed in the params
+    import orbax.checkpoint as ocp
+
+    tree = ocp.StandardCheckpointer().restore(os.path.join(out, "params"))
+    np.testing.assert_allclose(
+        tree["encoder"]["mistral_proj"]["kernel"],
+        np.asarray(stage["mistral_proj.weight"]).T, rtol=1e-6)
+    base_q = np.asarray(dec_sd["model.layers.0.self_attn.q_proj.weight"]).T
+    merged_q = tree["decoder"]["layer_0"]["q_proj"]["kernel"]
+    A = np.asarray(stage["mistral_model.base_model.model.model.layers.0."
+                         "self_attn.q_proj.lora_A.weight"])
+    B = np.asarray(stage["mistral_model.base_model.model.model.layers.0."
+                         "self_attn.q_proj.lora_B.weight"])
+    np.testing.assert_allclose(merged_q, base_q + 2.0 * (B @ A).T,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_convert_cli_infvideollama_layered_chain(tmp_path, capsys):
+    """ivt-convert ∞-Video-LLaMA lane: q_former_model -> ckpt -> ckpt_2
+    layered overlay (infinityqa.py:530-539) with the unconsumed report."""
+    import torch
+
+    from infinite_video_tpu.cli import convert as convert_cli
+
+    rng = np.random.default_rng(1)
+
+    def t(*shape):
+        return torch.tensor(rng.normal(size=shape).astype(np.float32) * 0.02)
+
+    p1 = str(tmp_path / "blip2_pretrained.pth")
+    torch.save({"model": {"query_tokens": t(1, 8, 64)}}, p1)
+    p2 = str(tmp_path / "pretrain_ckpt.pth")
+    torch.save({"model": {
+        "video_query_tokens": t(1, 8, 64),
+        "video_frame_position_embedding.weight": t(32, 64),
+        "llama_proj.weight": t(96, 64),
+        "llama_proj.bias": t(96),
+    }}, p2)
+    p3 = str(tmp_path / "finetune_ckpt.pth")
+    torch.save({"model": {"ln_vision.weight": torch.ones(48),
+                          "ln_vision.bias": torch.zeros(48)}}, p3)
+    llm_p = str(tmp_path / "llama.pth")
+    torch.save(_tiny_decoder_hf_state_dict(rng, kv=96), llm_p)
+
+    out = str(tmp_path / "out_ivl")
+    convert_cli.main(["--model", "infvideollama", "--tiny",
+                      "--q-former-model", p1, "--ckpt", p2, "--ckpt-2", p3,
+                      "--llm", llm_p, "--output-dir", out, "--smoke-decode"])
+    printed = capsys.readouterr().out
+    assert "unconsumed keys: 0" in printed
+    assert "smoke decode OK" in printed
