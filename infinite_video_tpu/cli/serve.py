@@ -6,13 +6,17 @@ is the production equivalent: a dependency-free HTTP server (stdlib
 `http.server`) wrapping the same engines the benchmark drivers use, with the
 same checkpoint/quantization flags as `cli.run_eval`.
 
-One process owns the TPU. Requests serialize through a model lock — compiled
-executables are shared across requests (engines jit per chunk geometry), so
-after `--warmup` every request pays only compute: encode ~O(frames/190 f/s),
-answer ~O(tokens/91 tok/s int8) on one v5e. With `--batch-window-ms` set,
-concurrent /chat requests coalesce into one batched decode
-(continuous micro-batching: 540 tok/s aggregate at batch 8 vs 91
-single-stream for the int8 7B — ~6x cheaper per concurrent turn).
+One process owns the TPU. Requests serialize through a model lock at
+EXECUTABLE granularity — compiled executables are shared across requests
+(engines jit per chunk geometry), so after `--warmup` every request pays
+only compute: encode ~O(frames/190 f/s), answer ~O(tokens/91 tok/s int8) on
+one v5e. Video encodes run chunk-at-a-time (engine.encode_video_stepped)
+and release the lock between chunks, so a multi-second /v1/videos encode
+never stalls /chat turns on existing sessions; streamed chats release it
+between decode segments. With `--batch-window-ms` set, concurrent /chat
+requests coalesce into one batched decode (continuous micro-batching: 540
+tok/s aggregate at batch 8 vs 91 single-stream for the int8 7B — ~6x
+cheaper per concurrent turn).
 
 Endpoints (all JSON):
   GET    /healthz                   liveness, backend, model, session count
@@ -26,6 +30,9 @@ Endpoints (all JSON):
   POST   /v1/sessions/<id>/chat     {"question", "max_new_tokens"?,
                                     "do_sample"?, "temperature"?, "top_p"?,
                                     "seed"?} -> {"answer"}
+                                    {"stream": true} -> Server-Sent Events:
+                                    data: {"delta": text} per decode segment,
+                                    then data: [DONE]
   GET    /v1/sessions/<id>          {"history": [{question, answer}, ...]}
   DELETE /v1/sessions/<id>          {"deleted": true}
   POST   /v1/answer                 {"video_path", "question", opts}
@@ -122,6 +129,7 @@ class VideoQAService:
         if self.proto not in ("llama", "mistral"):
             raise TypeError(f"engine must declare protocol, got {self.proto!r}")
         self._model_lock = threading.Lock()      # serialize TPU work
+        self._encode_lock = threading.Lock()     # one video encode at a time
         self._sessions_lock = threading.Lock()
         self._sessions: "OrderedDict[str, dict]" = OrderedDict()
         self.batcher = (_MicroBatcher(self, batch_window_ms, max_batch)
@@ -133,14 +141,32 @@ class VideoQAService:
         import numpy as np
 
         chunks = np.asarray(self.frame_source(video_path))
-        with self._model_lock:
-            if self.proto == "mistral":
-                emb = self.engine.encode_video(chunks, system=self.system)
-            else:
-                emb = self.engine.encode_video(chunks)
+        kw = {"system": self.system} if self.proto == "mistral" else {}
+        stepped = getattr(self.engine, "encode_video_stepped", None)
+        if (stepped is not None and chunks.shape[0] > 1
+                and not getattr(self.engine, "hd_num", 0)):
+            # Encode executor: encodes serialize among themselves
+            # (_encode_lock), but hold the device lock only one chunk at a
+            # time — queued /chat turns on existing sessions interleave
+            # between chunk executables instead of stalling for the whole
+            # multi-second encode.
+            with self._encode_lock:
+                self._model_lock.acquire()
+                try:
+                    def between():
+                        self._model_lock.release()
+                        time.sleep(0.001)   # give waiters a chance to grab it
+                        self._model_lock.acquire()
+
+                    emb = stepped(chunks, between=between, **kw)
+                finally:
+                    self._model_lock.release()
+        else:
+            with self._model_lock:
+                emb = self.engine.encode_video(chunks, **kw)
         return emb, int(chunks.shape[0])
 
-    def _answer(self, emb, question: str, opts: dict) -> str:
+    def _gen_kw(self, question: str, opts: dict) -> dict:
         if not isinstance(question, str) or not question.strip():
             raise ServiceError(400, "question must be a non-empty string")
         allowed = {"max_new_tokens", "do_sample", "temperature", "top_p",
@@ -161,6 +187,10 @@ class VideoQAService:
             kw["temperature"] = float(opts["temperature"])
         if "top_p" in opts:
             kw["top_p"] = float(opts["top_p"])
+        return kw
+
+    def _answer(self, emb, question: str, opts: dict) -> str:
+        kw = self._gen_kw(question, opts)
         if self.batcher is not None:
             return self.batcher.submit(emb, question, kw)
         return self._answer_direct(emb, question, kw)
@@ -221,6 +251,37 @@ class VideoQAService:
         answer = self._answer(sess["emb"], question, opts)
         sess["history"].append({"question": question, "answer": answer})
         return {"session_id": sid, "answer": answer}
+
+    def chat_stream(self, sid: str, question: str, opts: dict):
+        """Generator of text deltas (SSE /chat with "stream": true).
+
+        Streaming turns run solo (never micro-batched); the device lock is
+        held only per decode segment, so concurrent requests interleave with
+        an in-flight stream. History updates when the stream completes."""
+        sess = self._get(sid)
+        kw = self._gen_kw(question, opts)
+        stream = getattr(self.engine, "answer_stream", None)
+        if stream is None:
+            raise ServiceError(501, "engine has no streaming support")
+        if self.proto == "mistral":
+            agen = stream(sess["emb"], question, system=self.system, **kw)
+        else:
+            agen = stream(sess["emb"], question, **kw)
+
+        def gen():
+            parts = []
+            while True:
+                with self._model_lock:
+                    try:
+                        piece = next(agen)
+                    except StopIteration:
+                        break
+                parts.append(piece)
+                yield piece
+            sess["history"].append({"question": question,
+                                    "answer": "".join(parts)})
+
+        return gen()
 
     def history(self, sid: str) -> dict:
         sess = self._get(sid)
@@ -377,6 +438,31 @@ def make_handler(service: VideoQAService):
         def _body(self) -> bytes:
             return self._raw_body
 
+        def _sse(self, deltas):
+            """Stream `deltas` (text pieces) as Server-Sent Events over
+            chunked transfer encoding; ends with a data: [DONE] event."""
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def write_chunk(payload: bytes):
+                self.wfile.write(f"{len(payload):X}\r\n".encode()
+                                 + payload + b"\r\n")
+                self.wfile.flush()
+
+            try:
+                for delta in deltas:
+                    write_chunk(f"data: {json.dumps({'delta': delta})}\n\n"
+                                .encode())
+            except Exception as e:  # surface mid-stream errors as an event
+                write_chunk(f"data: {json.dumps({'error': f'{type(e).__name__}: {e}'})}\n\n"
+                            .encode())
+            write_chunk(b"data: [DONE]\n\n")
+            self.wfile.write(b"0\r\n\r\n")
+            self.wfile.flush()
+
         def _json_body(self) -> dict:
             raw = self._body()
             if not raw:
@@ -445,7 +531,11 @@ def make_handler(service: VideoQAService):
                 sid = parts[1]
                 if method == "POST" and parts[2:] == ["chat"]:
                     req = self._json_body()
-                    opts = {k: v for k, v in req.items() if k != "question"}
+                    opts = {k: v for k, v in req.items()
+                            if k not in ("question", "stream")}
+                    if req.get("stream"):
+                        return self._sse(service.chat_stream(
+                            sid, req.get("question", ""), opts))
                     return self._json(200, service.chat(
                         sid, req.get("question", ""), opts))
                 if method == "GET" and len(parts) == 2:

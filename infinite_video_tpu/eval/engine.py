@@ -100,6 +100,38 @@ class LLaMAVideoQA:
 
         self._encode_chunks = _encode_chunks
 
+        @jax.jit
+        def _encode_step(enc_params, chunk, states, key):
+            # one chunk per executable (serving interleave; see
+            # encode_video_stepped). Identical rng threading to the fused
+            # scan: split, use the subkey.
+            key, sub = jax.random.split(key)
+            emb, states = encoder.apply({"params": enc_params}, chunk, states,
+                                        ltm_rng=sub)
+            return emb, states, key
+
+        self._encode_step = _encode_step
+
+    def encode_video_stepped(self, chunks, rng=None, between=None):
+        """Chunk-at-a-time encode_video: same mean embedding, but one device
+        round-trip per chunk instead of one fused scan. `between()` runs
+        before every chunk after the first — the serving layer uses it to
+        release/reacquire the device lock so queued chats interleave with a
+        long video encode (cli/serve.py)."""
+        chunks = jnp.asarray(chunks)
+        states = self.init_states(chunks.shape[1])
+        key = rng if rng is not None else jax.random.PRNGKey(0)
+        acc = None
+        for c in range(chunks.shape[0]):
+            if between is not None and c:
+                between()
+            emb, states, key = self._encode_step(self.enc_params, chunks[c],
+                                                 states, key)
+            emb = jax.block_until_ready(emb)
+            acc = emb.astype(jnp.float32) if acc is None \
+                else acc + emb.astype(jnp.float32)
+        return (acc / chunks.shape[0]).astype(emb.dtype)
+
     def encode_video(self, chunks: jnp.ndarray, rng=None) -> jnp.ndarray:
         """chunks: [C, B, T, H, W, 3] -> mean video embedding [B, Q, llm_dim]."""
         return self._encode(self.enc_params,
@@ -138,6 +170,24 @@ class LLaMAVideoQA:
                           rng=rng)
         return _postprocess(self.tokenizer, tokens, split="###",
                             role_tag="Assistant:")
+
+    def answer_stream(self, video_emb, input_text: str, *,
+                      max_new_tokens: int = 300, do_sample: bool = True,
+                      temperature: float = 1.0, top_p: float = 0.9,
+                      max_length: int = 2000, rng=None, segment: int = 8):
+        """Incremental answer(): yields text deltas whose concatenation equals
+        the answer() output (same prompts, same rng threading; SSE serving)."""
+        prompt = _LLAMA_SYSTEM + input_text + "###Assistant:"
+        embs = self._embed_segments(prompt.split("<ImageHere>"), [video_emb])
+        begin = max(0, embs.shape[1] + max_new_tokens - max_length)
+        embs = embs[:, begin:]
+        gcfg = GenerationConfig(max_new_tokens=max_new_tokens,
+                                do_sample=do_sample, temperature=temperature,
+                                top_p=top_p, eos_token_id=2, pad_token_id=2,
+                                stop_sequences=((835,), (2277, 29937)),
+                                pad_to_multiple=getattr(self, "pad_to_multiple", 0))
+        yield from _stream_text(self, embs, gcfg, rng, segment, split="###",
+                                role_tag="Assistant:")
 
     def answer_batch(self, video_embs, input_texts, *,
                      max_new_tokens: int = 300, do_sample: bool = True,
@@ -221,6 +271,40 @@ class MistralVideoQA:
 
         self._encode_chunks = _encode_chunks
 
+        @jax.jit
+        def _encode_step(enc_params, chunk, states, instr_ids, instr_mask,
+                         key):
+            # see LLaMAVideoQA._encode_step
+            key, sub = jax.random.split(key)
+            emb, states = encoder.apply({"params": enc_params}, chunk, states,
+                                        instruction_ids=instr_ids,
+                                        instruction_mask=instr_mask,
+                                        ltm_rng=sub)
+            return emb, states, key
+
+        self._encode_step = _encode_step
+
+    def encode_video_stepped(self, chunks, system: str = "", rng=None,
+                             between=None):
+        """Chunk-at-a-time encode_video (plain chunk layout; serving
+        interleave — see LLaMAVideoQA.encode_video_stepped)."""
+        if self.hd_num:
+            raise ValueError("stepped encode does not support hd_num tiles")
+        chunks = jnp.asarray(chunks)
+        ids, mask = self._instruction_batch(system, chunks.shape[1])
+        states = self.init_states(chunks.shape[1])
+        key = rng if rng is not None else jax.random.PRNGKey(0)
+        acc = None
+        for c in range(chunks.shape[0]):
+            if between is not None and c:
+                between()
+            emb, states, key = self._encode_step(self.enc_params, chunks[c],
+                                                 states, ids, mask, key)
+            emb = jax.block_until_ready(emb)
+            acc = emb.astype(jnp.float32) if acc is None \
+                else acc + emb.astype(jnp.float32)
+        return (acc / chunks.shape[0]).astype(emb.dtype)
+
     def _instruction_batch(self, system: str, b: int):
         """Tokenize the Q-former instruction once and tile ids/mask to B."""
         enc = self.qformer_tokenizer(system, add_special_tokens=True)
@@ -281,6 +365,28 @@ class MistralVideoQA:
                           rng=rng)
         text = _postprocess(self.tokenizer, tokens, split="</s>")
         return return_prompt + text.strip().split("\n")[0]
+
+    def answer_stream(self, video_emb, question: str, *, system: str = "",
+                      question_prompt: str = "", answer_prompt: str = "",
+                      return_prompt: str = "", max_new_tokens: int = 100,
+                      do_sample: bool = False, temperature: float = 1.0,
+                      top_p: float = 0.9, rng=None, segment: int = 8):
+        """Incremental answer(): yields text deltas whose concatenation equals
+        the answer() output (same prompt assembly/stops; SSE serving)."""
+        prompt = (f"{system}[INST] <Video><VideoHere></Video> [/INST] "
+                  f"[INST] {question}{question_prompt} [/INST] {answer_prompt}")
+        segs = prompt.split("<VideoHere>")
+        embs = _embed_segments_generic(self, segs, [video_emb])
+        gcfg = GenerationConfig(max_new_tokens=max_new_tokens,
+                                do_sample=do_sample, temperature=temperature,
+                                top_p=top_p, eos_token_id=2, pad_token_id=2,
+                                stop_sequences=((2,), (29871, 2)),
+                                pad_to_multiple=getattr(self, "pad_to_multiple", 0))
+        if return_prompt:
+            yield return_prompt
+        # answer() keeps only the first line; pass it as an extra stop marker
+        yield from _stream_text(self, embs, gcfg, rng, segment, split="</s>",
+                                extra_split="\n")
 
     def answer_batch(self, video_embs, questions, **kw):
         """Batched QA over stacked video embeddings (see _answer_batch)."""
@@ -343,6 +449,39 @@ def _embed_segments_generic(engine, segments, video_embs):
         engine._embed_table_cache = table
     return interleave_prompt_embeds(table, engine.tokenizer, segments,
                                     video_embs)
+
+
+def _stream_text(engine, embs, gcfg, rng, segment: int, split: str,
+                 role_tag: Optional[str] = None,
+                 extra_split: Optional[str] = None):
+    """Token stream -> text-delta stream; ''.join(deltas) == the answer()
+    postprocessed text. A small tail is held back while decoding so a
+    partially-generated stop marker (e.g. '##' of '###') never leaks to the
+    client; the heldback tail flushes when the stream ends."""
+    from infinite_video_tpu.runtime.generation import generate_stream
+
+    def post(ids):
+        text = _postprocess(engine.tokenizer, [ids], split=split,
+                            role_tag=role_tag, eos_id=gcfg.eos_token_id)
+        if extra_split:
+            text = text.strip().split(extra_split)[0]
+        return text
+
+    ids: list = []
+    emitted = ""
+    holdback = max(len(split), len(role_tag or ""), 8)
+    for piece in generate_stream(engine.decoder, engine.dec_params, gcfg,
+                                 prompt_embeds=embs, rng=rng,
+                                 segment=segment):
+        ids.extend(int(t) for t in piece[0])
+        text = post(ids)
+        safe = text[: max(0, len(text) - holdback)]
+        if safe.startswith(emitted) and len(safe) > len(emitted):
+            yield safe[len(emitted):]
+            emitted = safe
+    final = post(ids)
+    if final.startswith(emitted) and len(final) > len(emitted):
+        yield final[len(emitted):]
 
 
 def _postprocess(tokenizer, tokens, split: str, role_tag: Optional[str] = None,

@@ -55,6 +55,9 @@ class DecoderConfig:
     # int8 weight-only projections (per-output-channel scales, fused dequant):
     # halves HBM footprint/decode bandwidth for single-chip 7B serving.
     quantized: bool = False
+    # Pallas weight-streaming matmul for the int8 decode path: None = auto
+    # (TPU backend and <=32 token rows, i.e. decode steps); True/False force.
+    quant_pallas: Optional[bool] = None
 
     @property
     def head_dim(self) -> int:
@@ -107,10 +110,17 @@ def _rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 class QuantDense(nn.Module):
     """y = x · dequant(W): weights stream as int8 with per-output-channel
-    fp32 scales; dequant fuses into the matmul (the int8 stays in HBM)."""
+    fp32 scales; dequant fuses into the matmul (the int8 stays in HBM).
+
+    Decode steps (few token rows) route through the Pallas weight-streaming
+    kernel (ops/pallas/quant_matmul.py) on TPU — ~roofline HBM bandwidth on
+    the int8 tiles; prefill/training fall back to the XLA fused dequant-dot
+    (compute-bound there, XLA tiles it well)."""
 
     features: int
     dtype: jnp.dtype = jnp.bfloat16
+    pallas: Optional[bool] = None   # None = auto (TPU + <=32 rows)
+    interpret: bool = False         # test hook for the Pallas path
 
     @nn.compact
     def __call__(self, x):
@@ -118,6 +128,17 @@ class QuantDense(nn.Module):
                         (x.shape[-1], self.features), jnp.int8)
         scale = self.param("scale", nn.initializers.ones, (self.features,),
                            jnp.float32)
+        rows = 1
+        for s in x.shape[:-1]:
+            rows *= s
+        use_kernel = self.pallas if self.pallas is not None else (
+            jax.default_backend() == "tpu" and rows <= 32)
+        if use_kernel:
+            from infinite_video_tpu.ops.pallas.quant_matmul import quant_matmul
+
+            y = quant_matmul(x.reshape(rows, x.shape[-1]), wq, scale,
+                             out_dtype=self.dtype, interpret=self.interpret)
+            return y.reshape(*x.shape[:-1], self.features)
         w = wq.astype(self.dtype) * scale.astype(self.dtype)
         return jnp.dot(x.astype(self.dtype), w)
 
@@ -127,7 +148,9 @@ def _dense_cls(cfg):
     import functools
 
     if cfg.quantized:
-        return functools.partial(QuantDense, dtype=cfg.dtype)
+        return functools.partial(QuantDense, dtype=cfg.dtype,
+                                 pallas=cfg.quant_pallas,
+                                 interpret=cfg.flash_interpret)
     import flax.linen as _nn
 
     return functools.partial(_nn.Dense, use_bias=False, dtype=cfg.dtype)

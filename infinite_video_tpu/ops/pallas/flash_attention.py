@@ -47,7 +47,7 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    def compute():
+    def compute(masked: bool):
         q = q_ref[0]                                    # [bq, d]
         k = k_ref[0]                                    # [bk, d]
         v = v_ref[0]
@@ -55,14 +55,18 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale   # [bq, bk]
 
-        q_pos = qb * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 0)
-        k_pos = kb * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1)
-        mask = k_pos < kv_len
-        if causal:
-            mask &= k_pos <= q_pos
-        s = jnp.where(mask, s, _NEG_INF)
+        if masked:
+            # only diagonal-straddling / kv-tail blocks pay for the iota +
+            # where; fully-in-bounds blocks take the branch below with no
+            # VPU mask work at all
+            q_pos = qb * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            k_pos = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            mask = k_pos < kv_len
+            if causal:
+                mask &= k_pos <= q_pos
+            s = jnp.where(mask, s, _NEG_INF)
 
         m_prev = m_scr[:]                               # [bq, 1]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -78,13 +82,29 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         m_scr[:] = m_new
         l_scr[:] = l_new
 
+    # A block needs masking only if it straddles the causal diagonal or the
+    # kv_len tail; fully-unmasked blocks skip the iota/where entirely.
+    in_bounds = (kb + 1) * block_k <= kv_len
     if causal:
-        # Skip key blocks strictly after the diagonal.
-        @pl.when(kb * block_k <= qb * block_q + block_q - 1)
-        def _():
-            compute()
+        visited = kb * block_k <= qb * block_q + block_q - 1
+        below_diag = (kb + 1) * block_k - 1 <= qb * block_q
+        unmasked = visited & below_diag & in_bounds
+
+        @pl.when(unmasked)
+        def _fast():
+            compute(False)
+
+        @pl.when(visited & jnp.logical_not(unmasked))
+        def _masked():
+            compute(True)
     else:
-        compute()
+        @pl.when(in_bounds)
+        def _fast():
+            compute(False)
+
+        @pl.when(jnp.logical_not(in_bounds))
+        def _masked():
+            compute(True)
 
     @pl.when(kb == pl.num_programs(2) - 1)
     def _finalize():

@@ -182,9 +182,35 @@ def generate(
                           jnp.asarray(prompt_embeds), prompt_mask, rng)
 
 
-@partial(jax.jit, static_argnames=("model", "cfg", "masked"))
-def _generate_core(model: Decoder, cfg: GenerationConfig, masked: bool,
-                   params, prompt_embeds, prompt_mask, rng) -> jnp.ndarray:
+def _decode_body(model: Decoder, cfg: GenerationConfig, params, s: int,
+                 pad_offset):
+    """One decode step over state (t, tokens, cache, done, mask, rng) —
+    shared by the fused loop (_generate_core) and the segmented streaming
+    loop (_decode_segment_core)."""
+
+    def body(state):
+        t, tokens, cache, done, mask, rng = state
+        mask = mask.at[:, s + t].set(1.0)
+        logits, cache = model.apply({"params": params},
+                                    input_ids=tokens[:, t][:, None],
+                                    attention_mask=mask, cache=cache,
+                                    position_offset=pad_offset)
+        rng, sub = jax.random.split(rng)
+        nxt = _next_token(sub, logits[:, -1], cfg, tokens=tokens,
+                          gen_index=t + 1).astype(jnp.int32)
+        nxt = jnp.where(done, cfg.pad_token_id, nxt)
+        tokens = tokens.at[:, t + 1].set(nxt)
+        newly_done = nxt == cfg.eos_token_id
+        for stop in cfg.stop_sequences:
+            newly_done |= _hits_stop(tokens, t + 1, stop)
+        return t + 1, tokens, cache, done | newly_done, mask, rng
+
+    return body
+
+
+def _prefill_state(model: Decoder, cfg: GenerationConfig, masked: bool,
+                   params, prompt_embeds, prompt_mask, rng):
+    """Prefill + first token -> (decode state, pad_offset)."""
     dcfg: DecoderConfig = model.cfg
     b, s, _ = prompt_embeds.shape
     max_len = s + cfg.max_new_tokens
@@ -211,30 +237,103 @@ def _generate_core(model: Decoder, cfg: GenerationConfig, masked: bool,
     tokens = jnp.full((b, cfg.max_new_tokens), cfg.pad_token_id, jnp.int32)
     tokens = tokens.at[:, 0].set(first.astype(jnp.int32))
 
+    done0 = (first == cfg.eos_token_id)
+    for stop in cfg.stop_sequences:
+        done0 |= _hits_stop(tokens, jnp.asarray(0), stop)
+    return (jnp.asarray(0), tokens, cache, done0, buffer_mask, rng), pad_offset
+
+
+@partial(jax.jit, static_argnames=("model", "cfg", "masked"))
+def _generate_core(model: Decoder, cfg: GenerationConfig, masked: bool,
+                   params, prompt_embeds, prompt_mask, rng) -> jnp.ndarray:
+    s = prompt_embeds.shape[1]
+    state, pad_offset = _prefill_state(model, cfg, masked, params,
+                                       prompt_embeds, prompt_mask, rng)
+    body = _decode_body(model, cfg, params, s, pad_offset)
+
     def cond(state):
         t, _, _, done, _, _ = state
         return (t < cfg.max_new_tokens - 1) & ~jnp.all(done)
 
-    def body(state):
-        t, tokens, cache, done, mask, rng = state
-        mask = mask.at[:, s + t].set(1.0)
-        logits, cache = model.apply({"params": params},
-                                    input_ids=tokens[:, t][:, None],
-                                    attention_mask=mask, cache=cache,
-                                    position_offset=pad_offset)
-        rng, sub = jax.random.split(rng)
-        nxt = _next_token(sub, logits[:, -1], cfg, tokens=tokens,
-                          gen_index=t + 1).astype(jnp.int32)
-        nxt = jnp.where(done, cfg.pad_token_id, nxt)
-        tokens = tokens.at[:, t + 1].set(nxt)
-        newly_done = nxt == cfg.eos_token_id
-        for stop in cfg.stop_sequences:
-            newly_done |= _hits_stop(tokens, t + 1, stop)
-        return t + 1, tokens, cache, done | newly_done, mask, rng
-
-    done0 = (first == cfg.eos_token_id)
-    for stop in cfg.stop_sequences:
-        done0 |= _hits_stop(tokens, jnp.asarray(0), stop)
-    state = (jnp.asarray(0), tokens, cache, done0, buffer_mask, rng)
     _, tokens, _, _, _, _ = jax.lax.while_loop(cond, body, state)
     return tokens
+
+
+@partial(jax.jit, static_argnames=("model", "cfg", "masked"))
+def _prefill_core(model: Decoder, cfg: GenerationConfig, masked: bool,
+                  params, prompt_embeds, prompt_mask, rng):
+    return _prefill_state(model, cfg, masked, params, prompt_embeds,
+                          prompt_mask, rng)
+
+
+@partial(jax.jit, static_argnames=("model", "cfg", "s", "segment"))
+def _decode_segment_core(model: Decoder, cfg: GenerationConfig, s: int,
+                         segment: int, params, state, pad_offset):
+    """Advance the decode loop by up to `segment` steps (streaming mode)."""
+    t0 = state[0]
+    body = _decode_body(model, cfg, params, s, pad_offset)
+
+    def cond(state):
+        t, _, _, done, _, _ = state
+        return ((t < cfg.max_new_tokens - 1) & (t < t0 + segment)
+                & ~jnp.all(done))
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+def generate_stream(
+    model: Decoder,
+    params,
+    cfg: GenerationConfig,
+    *,
+    prompt_embeds: Optional[jnp.ndarray] = None,
+    prompt_ids: Optional[jnp.ndarray] = None,
+    prompt_mask: Optional[jnp.ndarray] = None,
+    rng: Optional[jax.Array] = None,
+    segment: int = 8,
+):
+    """Incremental decoding: yields numpy int32 [B, n_new] of newly decided
+    token ids, `segment` steps per device round-trip.
+
+    Identical results to generate() (same jitted step body, same rng
+    threading) delivered as two executables — a prefill and a reusable
+    `segment`-step decode loop — instead of one fused loop. Segments bound
+    the dispatch overhead on tunneled TPUs (~segment tokens per round-trip)
+    while first-token latency is just the prefill. The caller may run other
+    device work between pulls (the serving layer interleaves queued chats'
+    segments this way).
+    """
+    if prompt_embeds is None:
+        prompt_embeds = model.apply({"params": params}, input_ids=prompt_ids,
+                                    embed_only=True)
+    b, s, _ = prompt_embeds.shape
+    masked = prompt_mask is not None
+    if cfg.pad_to_multiple and s % cfg.pad_to_multiple:
+        extra = cfg.pad_to_multiple - s % cfg.pad_to_multiple
+        prompt_embeds = jnp.pad(prompt_embeds, ((0, 0), (extra, 0), (0, 0)))
+        if prompt_mask is None:
+            prompt_mask = jnp.ones((b, s))
+        prompt_mask = jnp.pad(prompt_mask, ((0, 0), (extra, 0)))
+        masked = True
+        s += extra
+    if prompt_mask is None:
+        prompt_mask = jnp.ones((b, s))
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    import numpy as np
+
+    state, pad_offset = _prefill_core(model, cfg, masked, params,
+                                      jnp.asarray(prompt_embeds), prompt_mask,
+                                      rng)
+    emitted = 0
+    while True:
+        t = int(state[0])
+        avail = t + 1
+        if avail > emitted:
+            yield np.asarray(state[1][:, emitted:avail])
+            emitted = avail
+        if bool(np.all(np.asarray(state[3]))) or t >= cfg.max_new_tokens - 1:
+            return
+        state = _decode_segment_core(model, cfg, s, max(1, segment), params,
+                                     state, pad_offset)

@@ -340,3 +340,76 @@ def test_llama_answer_batch_matches_single_greedy():
         eng, jnp.concatenate([emb1, emb2]), [q1, q2],
         max_new_tokens=5, do_sample=False)
     assert batch == [s1, s2]
+
+
+def _tiny_mistral_engine():
+    import jax
+    import jax.numpy as jnp
+
+    from infinite_video_tpu.eval.engine import MistralVideoQA
+    from infinite_video_tpu.models.decoder import Decoder, tiny_decoder_config
+
+    cfg = tiny_decoder_config()
+    decoder = Decoder(cfg)
+    params = decoder.init(jax.random.PRNGKey(0),
+                          input_ids=jnp.zeros((1, 4), jnp.int32))["params"]
+
+    class Tok:
+        eos_token_id = 2
+
+        def __call__(self, text, add_special_tokens=False):
+            ids = [3 + abs(hash(w)) % 100 for w in text.split()]
+            return {"input_ids": ([1] if add_special_tokens else []) + ids}
+
+        def decode(self, ids, skip_special_tokens=True):
+            return " ".join(f"w{i}" for i in ids)
+
+    eng = MistralVideoQA.__new__(MistralVideoQA)
+    eng.decoder, eng.dec_params, eng.tokenizer = decoder, params, Tok()
+    return eng, cfg
+
+
+def test_answer_stream_joins_to_answer():
+    """engine.answer_stream deltas concatenate to the answer() text (greedy,
+    segmented decoding shares the exact token path: test_generation)."""
+    import jax.numpy as jnp
+
+    from infinite_video_tpu.eval.engine import MistralVideoQA
+
+    eng, cfg = _tiny_mistral_engine()
+    emb = jnp.ones((1, 4, cfg.hidden_size)) * 0.1
+    q = "what is happening here"
+    full = MistralVideoQA.answer(eng, emb, q, max_new_tokens=12)
+    deltas = list(MistralVideoQA.answer_stream(eng, emb, q,
+                                               max_new_tokens=12, segment=3))
+    assert "".join(deltas) == full
+    assert len(deltas) >= 1
+
+
+def test_encode_video_stepped_matches_fused():
+    """Chunk-at-a-time serving encode == the fused-scan mean embedding (same
+    rng split order), and `between` fires once per later chunk."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from infinite_video_tpu.cli.run_eval import build_engine
+    from infinite_video_tpu.cli.serve import build_argparser
+
+    args = build_argparser().parse_args(
+        ["--tiny", "--max-int", "2", "--num-samples", "3", "--num-basis",
+         "16"])
+    args.hd_num = 0
+    args.question_batch = 1
+    engine, cfg = build_engine(args)
+    chunks = jnp.asarray(
+        np.random.default_rng(0).normal(size=(3, 1, 2, 224, 224, 3)),
+        jnp.float32)
+    rng = jax.random.PRNGKey(5)
+    fused = np.asarray(engine.encode_video(chunks, system="sys text",
+                                           rng=rng))
+    calls = []
+    stepped = np.asarray(engine.encode_video_stepped(
+        chunks, system="sys text", rng=rng, between=lambda: calls.append(1)))
+    assert len(calls) == 2          # chunks 1 and 2 yield first
+    np.testing.assert_allclose(stepped, fused, rtol=2e-3, atol=2e-5)

@@ -323,3 +323,66 @@ def test_sampling_seed_reproducibility():
     c = generate(model, params, cfg, prompt_ids=ids, rng=jax.random.PRNGKey(12))
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert (np.asarray(a) != np.asarray(c)).any()
+
+
+def _tiny_stream_setup():
+    _, model, params = _tiny_pair()
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 96, (2, 7)),
+                      jnp.int32)
+    return model, params, ids
+
+
+def test_generate_stream_matches_generate_greedy():
+    """Segmented streaming (prefill + N-step decode executables) must decide
+    the exact same tokens as the fused generate() loop."""
+    import numpy as np
+
+    from infinite_video_tpu.runtime.generation import generate_stream
+
+    model, params, ids = _tiny_stream_setup()
+    gcfg = GenerationConfig(max_new_tokens=13, do_sample=False,
+                            eos_token_id=-1)
+    fused = np.asarray(generate(model, params, gcfg, prompt_ids=ids))
+    pieces = list(generate_stream(model, params, gcfg, prompt_ids=ids,
+                                  segment=4))
+    assert all(p.shape[0] == fused.shape[0] for p in pieces)
+    np.testing.assert_array_equal(np.concatenate(pieces, axis=1), fused)
+    # first piece is the prefill token alone: lowest first-token latency
+    assert pieces[0].shape[1] == 1
+
+
+def test_generate_stream_matches_generate_sampled():
+    """Same rng threading => identical sampled tokens, segmented or fused."""
+    import numpy as np
+
+    from infinite_video_tpu.runtime.generation import generate_stream
+
+    model, params, ids = _tiny_stream_setup()
+    gcfg = GenerationConfig(max_new_tokens=9, do_sample=True, temperature=0.9,
+                            top_p=0.8, eos_token_id=-1)
+    rng = jax.random.PRNGKey(7)
+    fused = np.asarray(generate(model, params, gcfg, prompt_ids=ids, rng=rng))
+    pieces = list(generate_stream(model, params, gcfg, prompt_ids=ids,
+                                  rng=rng, segment=3))
+    np.testing.assert_array_equal(np.concatenate(pieces, axis=1), fused)
+
+
+def test_generate_stream_stops_early_on_eos():
+    """A stop on EOS ends the stream without running out max_new_tokens."""
+    import numpy as np
+
+    from infinite_video_tpu.runtime.generation import generate_stream
+
+    model, params, ids = _tiny_stream_setup()
+    ids = ids[:1]  # single row: the whole batch stops when it stops
+    # pick the greedy first token as "EOS" so the stream stops immediately
+    g0 = np.asarray(generate(model, params,
+                             GenerationConfig(max_new_tokens=2,
+                                              eos_token_id=-1),
+                             prompt_ids=ids))[0, 0]
+    gcfg = GenerationConfig(max_new_tokens=50, do_sample=False,
+                            eos_token_id=int(g0), min_new_tokens=0)
+    pieces = list(generate_stream(model, params, gcfg, prompt_ids=ids,
+                                  segment=8))
+    total = np.concatenate(pieces, axis=1)
+    assert total.shape[1] <= 9  # prefill token + at most one segment

@@ -53,3 +53,48 @@ def test_quantized_generation_runs():
                    prompt_ids=ids)
     assert out.shape == (1, 6)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_quant_matmul_kernel_matches_xla_dequant():
+    """Pallas weight-streaming matmul (ops/pallas/quant_matmul.py) vs the
+    XLA fused dequant-dot, odd shapes exercise the padding."""
+    from infinite_video_tpu.ops.pallas.quant_matmul import quant_matmul
+
+    rng = np.random.default_rng(0)
+    for (m, k, n) in [(1, 512, 384), (8, 300, 520), (16, 128, 128)]:
+        x = jnp.asarray(rng.normal(size=(m, k)), jnp.bfloat16)
+        wq = jnp.asarray(rng.integers(-127, 128, (k, n)), jnp.int8)
+        s = jnp.asarray(rng.uniform(0.001, 0.02, (n,)), jnp.float32)
+        ref = np.asarray(x.astype(jnp.float32)
+                         @ (wq.astype(jnp.float32) * s))
+        got = np.asarray(quant_matmul(x, wq, s, interpret=True,
+                                      out_dtype=jnp.float32))
+        np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_quant_pallas_decode_path_matches_xla():
+    """Full decode step through QuantDense with the Pallas path forced on
+    (interpret mode) vs the XLA dequant path: same cache-extending logits."""
+    import dataclasses
+
+    from infinite_video_tpu.models.decoder import init_kv_cache
+
+    cfg, model, params, qparams, ids = _setup()
+    qcfg_xla = dataclasses.replace(cfg, quantized=True, quant_pallas=False)
+    qcfg_pl = dataclasses.replace(cfg, quantized=True, quant_pallas=True,
+                                  flash_interpret=True)
+
+    def decode_logits(qcfg):
+        m = Decoder(qcfg)
+        mask = jnp.zeros((1, 12)).at[:, :10].set(1.0)
+        cache = init_kv_cache(qcfg, 1, 12)
+        _, cache = m.apply({"params": qparams}, input_ids=ids,
+                           attention_mask=mask, cache=cache)
+        mask = mask.at[:, 10].set(1.0)
+        logits, _ = m.apply({"params": qparams},
+                            input_ids=jnp.asarray([[5]], jnp.int32),
+                            attention_mask=mask, cache=cache)
+        return np.asarray(logits[:, -1])
+
+    np.testing.assert_allclose(decode_logits(qcfg_pl),
+                               decode_logits(qcfg_xla), rtol=5e-2, atol=5e-2)

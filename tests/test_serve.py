@@ -5,6 +5,7 @@ tiny-engine end-to-end path (cli.serve -> build_service -> real encode/answer).
 import http.client
 import json
 import threading
+import time
 from http.server import ThreadingHTTPServer
 
 import numpy as np
@@ -291,5 +292,105 @@ def test_serve_tiny_engine_end_to_end(tmp_path):
                           "max_new_tokens": 4})
         assert status == 200
         assert isinstance(a["answer"], str)
+    finally:
+        srv.shutdown()
+
+
+class _SlowStepEngine:
+    """Stepped-encode engine: each chunk sleeps, so a full encode is slow but
+    the device lock is released between chunks."""
+
+    protocol = "mistral"
+
+    def __init__(self, chunk_s=0.15, n_chunks=6):
+        self.chunk_s = chunk_s
+        self.answer_times = []
+
+    def encode_video(self, chunks, system=""):
+        for _ in range(chunks.shape[0]):
+            time.sleep(self.chunk_s)
+        return np.zeros((1, 4, 8), np.float32)
+
+    def encode_video_stepped(self, chunks, system="", rng=None, between=None):
+        for c in range(chunks.shape[0]):
+            if between is not None and c:
+                between()
+            time.sleep(self.chunk_s)
+        return np.zeros((1, 4, 8), np.float32)
+
+    def answer(self, emb, question, *, system="", **kw):
+        self.answer_times.append(time.monotonic())
+        return "ok"
+
+    def answer_stream(self, emb, question, *, system="", **kw):
+        for piece in ("alpha ", "beta ", "gamma"):
+            yield piece
+
+
+def test_serve_chat_interleaves_with_slow_encode(tmp_path):
+    """A /chat on an existing session must NOT wait for a concurrent
+    /v1/videos encode to finish: the stepped encode yields the device lock
+    between chunks (VERDICT r2 #8)."""
+    import time as _time
+
+    eng = _SlowStepEngine(chunk_s=0.15)
+    service = VideoQAService(
+        eng, lambda path: np.zeros((6, 1, 2, 8, 8, 3), np.float32),
+        model_name="slow")
+    video = tmp_path / "v.mp4"
+    video.write_bytes(b"x")
+    sid = service.open_session(str(video))["session_id"]
+
+    t_encode_done = {}
+    def encode_worker():
+        service.open_session(str(video))
+        t_encode_done["t"] = _time.monotonic()
+
+    enc = threading.Thread(target=encode_worker)
+    enc.start()
+    _time.sleep(0.2)              # encode is mid-flight (6 * 0.15s total)
+    t0 = _time.monotonic()
+    out = service.chat(sid, "quick question", {})
+    chat_latency = _time.monotonic() - t0
+    enc.join()
+    assert out["answer"] == "ok"
+    # chat waited at most ~one chunk (0.15s) + scheduling, not the full
+    # remaining encode (~0.7s)
+    assert chat_latency < 0.45, f"chat stalled behind encode: {chat_latency}"
+    assert eng.answer_times[0] < t_encode_done["t"], \
+        "chat should complete before the long encode finishes"
+
+
+def test_serve_sse_streaming_chat(tmp_path):
+    """POST /chat with stream:true -> SSE deltas + [DONE]; history records
+    the joined answer."""
+    eng = _SlowStepEngine()
+    service = VideoQAService(
+        eng, lambda path: np.zeros((2, 1, 2, 8, 8, 3), np.float32),
+        model_name="stream")
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    video = tmp_path / "v.mp4"
+    video.write_bytes(b"x")
+    try:
+        sid = service.open_session(str(video))["session_id"]
+        conn = http.client.HTTPConnection("127.0.0.1", srv.server_port,
+                                          timeout=30)
+        conn.request("POST", f"/v1/sessions/{sid}/chat",
+                     body=json.dumps({"question": "hi", "stream": True}),
+                     headers={"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 200
+        assert r.getheader("Content-Type") == "text/event-stream"
+        events = []
+        for line in r.read().decode().splitlines():
+            if line.startswith("data: "):
+                events.append(line[len("data: "):])
+        conn.close()
+        assert events[-1] == "[DONE]"
+        deltas = [json.loads(e)["delta"] for e in events[:-1]]
+        assert "".join(deltas) == "alpha beta gamma"
+        hist = service.history(sid)["history"]
+        assert hist == [{"question": "hi", "answer": "alpha beta gamma"}]
     finally:
         srv.shutdown()
