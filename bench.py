@@ -317,7 +317,9 @@ def _attention_ms(use_flash: bool, s: int = 2048, h: int = 32, d: int = 128,
     return 1000.0 / fps
 
 
-def _decode_tok_s(batch: int = 1, prefill: int = 128, n_steps: int = 128) -> float:
+def _decode_tok_s(batch: int = 1, prefill: int = 128, n_steps: int = 128,
+                  quant_pallas=None, fused: bool = False,
+                  fused_mlp: bool = False) -> float:
     """Steady-state autoregressive decode throughput of the int8 7B Mistral
     decoder (models/quantized.py serving path; modeling_llama_mem.py intent).
     Weight-only int8 keeps the 7B resident in a single v5e's HBM; weights are
@@ -332,7 +334,9 @@ def _decode_tok_s(batch: int = 1, prefill: int = 128, n_steps: int = 128) -> flo
     from infinite_video_tpu.models.decoder import (Decoder, init_kv_cache,
                                                    mistral7b_config)
 
-    cfg = dataclasses.replace(mistral7b_config(), quantized=True)
+    cfg = dataclasses.replace(mistral7b_config(), quantized=True,
+                              quant_pallas=quant_pallas, fused_proj=fused,
+                              fused_mlp=fused_mlp)
     model = Decoder(cfg)
     max_len = prefill + n_steps + 1
     params = jax.jit(
@@ -412,8 +416,12 @@ def main():
         except Exception as e:
             extra["flash_attention_error"] = f"{type(e).__name__}: {e}"[:200]
         try:
-            extra["decode_tok_s_int8_7b_b1"] = round(_decode_tok_s(batch=1), 2)
-            extra["decode_tok_s_int8_7b_b8"] = round(_decode_tok_s(batch=8), 2)
+            # fused qkv = the serving layout (cli/run_eval._maybe_quantize):
+            # b1-neutral, +9% at b8 (587 vs 540 tok/s, round-3 A/B)
+            extra["decode_tok_s_int8_7b_b1"] = round(
+                _decode_tok_s(batch=1, fused=True), 2)
+            extra["decode_tok_s_int8_7b_b8"] = round(
+                _decode_tok_s(batch=8, fused=True), 2)
         except Exception as e:
             extra["decode_error"] = f"{type(e).__name__}: {e}"[:200]
 

@@ -241,10 +241,18 @@ def _build_tiny_engine(args):
 def _maybe_quantize(args, cfg, decoder, dec_params):
     if not getattr(args, "int8", False):
         return decoder, dec_params
+    import dataclasses
+
     from infinite_video_tpu.models.quantized import (QuantDecoder,
+                                                     fuse_decoder_params,
                                                      quantize_decoder_params)
 
-    return QuantDecoder(cfg.decoder), quantize_decoder_params(dec_params)
+    # qkv fused (gate/up NOT — see DecoderConfig.fused_proj note): +9%
+    # micro-batched decode (587 vs 540 tok/s b8 on v5e), b1-neutral.
+    qcfg = dataclasses.replace(cfg.decoder, fused_proj=True)
+    params = fuse_decoder_params(quantize_decoder_params(dec_params),
+                                 qkv=True, mlp=False)
+    return QuantDecoder(qcfg), params
 
 
 def _load_tokenizer(llm_dir: str):

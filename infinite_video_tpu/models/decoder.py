@@ -55,9 +55,24 @@ class DecoderConfig:
     # int8 weight-only projections (per-output-channel scales, fused dequant):
     # halves HBM footprint/decode bandwidth for single-chip 7B serving.
     quantized: bool = False
-    # Pallas weight-streaming matmul for the int8 decode path: None = auto
-    # (TPU backend and <=32 token rows, i.e. decode steps); True/False force.
+    # Pallas weight-streaming matmul for the int8 decode path (opt-in).
+    # Measured on v5e (round 3 A/B, bench._decode_tok_s): XLA's fused
+    # dequant-dot already runs the 7B decode at 90.9 tok/s b1 vs 89.6 for
+    # the kernel — the decode is HBM-streaming-bound and XLA is at the
+    # practical roofline, so the simpler path stays the default (same
+    # honest-measurement verdict as ops/pallas/ltm_fused.py).
     quant_pallas: Optional[bool] = None
+    # Serving layouts: fuse q/k/v into one projection (fused_proj) and
+    # gate/up into one (fused_mlp) — fewer, larger HBM weight streams per
+    # decode step. Param tree uses qkv_proj/gateup_proj; fuse an unfused
+    # tree with models.quantized.fuse_decoder_params. Measured (v5e int8 7B,
+    # bench._decode_tok_s A/B): both fused = 562 tok/s at batch 8 (vs 540)
+    # but 76 vs 91 at batch 1 — XLA's dequant-dot degrades on the wide
+    # fused gate/up (N=28672, same pathology as the 32000-vocab lm_head) —
+    # so fuse for batched micro-batching serving, keep b1 unfused.
+    # Single-chip serving only (TP sharding rules address unfused names).
+    fused_proj: bool = False
+    fused_mlp: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -131,14 +146,21 @@ class QuantDense(nn.Module):
         rows = 1
         for s in x.shape[:-1]:
             rows *= s
-        use_kernel = self.pallas if self.pallas is not None else (
-            jax.default_backend() == "tpu" and rows <= 32)
+        use_kernel = bool(self.pallas)   # opt-in; see DecoderConfig.quant_pallas
         if use_kernel:
-            from infinite_video_tpu.ops.pallas.quant_matmul import quant_matmul
+            from infinite_video_tpu.ops.pallas.quant_matmul import (
+                auto_blocks, quant_matmul)
 
-            y = quant_matmul(x.reshape(rows, x.shape[-1]), wq, scale,
-                             out_dtype=self.dtype, interpret=self.interpret)
-            return y.reshape(*x.shape[:-1], self.features)
+            blocks = auto_blocks(x.shape[-1], self.features)
+            if blocks is None and self.pallas is None:
+                pass  # auto mode: XLA wins this shape (wide-vocab head)
+            else:
+                bk, bn = blocks or (512, 1024)
+                y = quant_matmul(x.reshape(rows, x.shape[-1]), wq, scale,
+                                 block_k=bk, block_n=bn,
+                                 out_dtype=self.dtype,
+                                 interpret=self.interpret)
+                return y.reshape(*x.shape[:-1], self.features)
         w = wq.astype(self.dtype) * scale.astype(self.dtype)
         return jnp.dot(x.astype(self.dtype), w)
 
@@ -201,9 +223,13 @@ class DecoderLayer(nn.Module):
         dense = _dense_cls(cfg)
         res = x
         y = RMSNorm(cfg.rms_eps, name="input_ln")(x)
-        q = dense(h * hd, name="q_proj")(y)
-        k = dense(kv * hd, name="k_proj")(y)
-        v = dense(kv * hd, name="v_proj")(y)
+        if cfg.fused_proj:
+            qkv = dense((h + 2 * kv) * hd, name="qkv_proj")(y)
+            q, k, v = jnp.split(qkv, [h * hd, (h + kv) * hd], axis=-1)
+        else:
+            q = dense(h * hd, name="q_proj")(y)
+            k = dense(kv * hd, name="k_proj")(y)
+            v = dense(kv * hd, name="v_proj")(y)
         b, s, _ = y.shape
         q = _rope(q.reshape(b, s, h, hd), positions, cfg.rope_theta)
         k = _rope(k.reshape(b, s, kv, hd), positions, cfg.rope_theta)
@@ -251,8 +277,12 @@ class DecoderLayer(nn.Module):
 
         res = x
         y = RMSNorm(cfg.rms_eps, name="post_ln")(x)
-        gate = dense(cfg.intermediate_size, name="gate_proj")(y)
-        up = dense(cfg.intermediate_size, name="up_proj")(y)
+        if cfg.fused_mlp:
+            gu = dense(2 * cfg.intermediate_size, name="gateup_proj")(y)
+            gate, up = jnp.split(gu, 2, axis=-1)
+        else:
+            gate = dense(cfg.intermediate_size, name="gate_proj")(y)
+            up = dense(cfg.intermediate_size, name="up_proj")(y)
         y = dense(cfg.hidden_size, name="down_proj")(jax.nn.silu(gate) * up)
         return res + y, cache_k, cache_v
 

@@ -23,8 +23,8 @@ import numpy as np
 
 from infinite_video_tpu.models.decoder import Decoder, DecoderConfig, QuantDense
 
-__all__ = ["quantize_decoder_params", "QuantDecoder", "QuantDense",
-           "QUANT_TARGETS"]
+__all__ = ["quantize_decoder_params", "fuse_decoder_params", "QuantDecoder",
+           "QuantDense", "QUANT_TARGETS"]
 
 QUANT_TARGETS = (r".*(q_proj|k_proj|v_proj|o_proj|gate_proj|up_proj|"
                  r"down_proj|lm_head)/kernel$")
@@ -33,6 +33,37 @@ QUANT_TARGETS = (r".*(q_proj|k_proj|v_proj|o_proj|gate_proj|up_proj|"
 def QuantDecoder(cfg: DecoderConfig) -> Decoder:
     """The unified Decoder with int8 projections enabled."""
     return Decoder(dataclasses.replace(cfg, quantized=True))
+
+
+def fuse_decoder_params(params: Dict, qkv: bool = True,
+                        mlp: bool = True) -> Dict:
+    """Rewrite layer trees for `DecoderConfig.fused_proj`/`fused_mlp`: q/k/v
+    kernels concatenate (on the output axis) into qkv_proj and gate/up into
+    gateup_proj. Column-wise the fused matmul computes the identical dots, so
+    logits are bit-equal to the unfused layout (tested). Works on fp trees
+    ({kernel}) and int8 trees ({kernel_q, scale} — per-output-channel scales
+    concatenate right along)."""
+    import copy
+
+    out = copy.copy(params)
+    for name, layer in params.items():
+        if not (isinstance(layer, dict) and "q_proj" in layer):
+            continue
+        layer = dict(layer)
+
+        def fuse(parts_names, fused_name):
+            parts = [layer.pop(p) for p in parts_names]
+            keys = parts[0].keys()
+            layer[fused_name] = {
+                k: np.concatenate([np.asarray(p[k]) for p in parts],
+                                  axis=-1) for k in keys}
+
+        if qkv:
+            fuse(("q_proj", "k_proj", "v_proj"), "qkv_proj")
+        if mlp:
+            fuse(("gate_proj", "up_proj"), "gateup_proj")
+        out[name] = layer
+    return out
 
 
 def quantize_decoder_params(params: Dict, targets: str = QUANT_TARGETS) -> Dict:

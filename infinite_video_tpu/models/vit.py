@@ -43,6 +43,19 @@ class ViTConfig:
     final_ln: bool = False
     layer_norm_eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
+    # GELU flavor: "erf" (torch nn.GELU default — the reference), "tanh",
+    # or "auto" = tanh when compute dtype is not fp32. Measured on v5e
+    # (tools/profile_vit.py): exact erf costs 0.94 ms/frame of EVA-g's
+    # 5.12 (18%) while tanh times identically to relu; the erf-vs-tanh
+    # delta (≲3e-3 abs) is below bf16 rounding, so bf16 serving uses tanh
+    # and fp32 parity/golden paths keep erf.
+    gelu: str = "auto"
+
+    @property
+    def gelu_approximate(self) -> bool:
+        if self.gelu == "auto":
+            return self.dtype != jnp.float32
+        return self.gelu == "tanh"
 
     @property
     def grid(self) -> int:
@@ -138,8 +151,11 @@ class ViTAttention(nn.Module):
         qkv = qkv.reshape(b, s, 3, cfg.num_heads, cfg.head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]      # [b, s, h, hd]
         q = q * (cfg.head_dim ** -0.5)
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k)
-        attn = jax.nn.softmax(attn, axis=-1)
+        # fp32 scores/softmax: measured free on v5e (tools/profile_vit.py —
+        # the ViT is matmul-bound; the softmax ablation moves nothing)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                          preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, s, d)
         return nn.Dense(d, dtype=cfg.dtype, name="proj")(out)
 
@@ -156,7 +172,7 @@ class ViTBlock(nn.Module):
         x = x + ViTAttention(cfg, name="attn")(h)
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="norm2")(x)
         h = nn.Dense(cfg.mlp_hidden, dtype=cfg.dtype, name="fc1")(h)
-        h = jax.nn.gelu(h, approximate=False)
+        h = jax.nn.gelu(h, approximate=cfg.gelu_approximate)
         h = nn.Dense(cfg.embed_dim, dtype=cfg.dtype, name="fc2")(h)
         return x + h
 

@@ -120,18 +120,34 @@ def _pad_to(x, size, axis):
     return jnp.pad(x, widths)
 
 
+def _auto_blocks(skv: int):
+    """Hardware-swept (v5e, /tmp/sweep_flash, round 3): 1024x1024 wins at
+    S>=2048 (0.419 vs 0.446 ms at S=2048), 512x1024 at mid lengths, 512x512
+    at S<=512 (less padding waste on a single block row)."""
+    if skv >= 2048:
+        return 1024, 1024
+    if skv > 512:
+        return 512, 1024
+    return 512, 512
+
+
 @functools.partial(jax.jit, static_argnames=("causal", "sm_scale", "block_q",
                                              "block_k", "interpret"))
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
                     causal: bool = True, sm_scale: float | None = None,
-                    block_q: int = 512, block_k: int = 1024,
+                    block_q: int | None = None, block_k: int | None = None,
                     interpret: bool = False) -> jnp.ndarray:
     """q: [B, S_q, H, D], k/v: [B, S_kv, H, D] -> [B, S_q, H, D] (fp32 accum).
 
     GQA callers repeat kv heads before the call (as models/decoder.py does).
+    Block sizes default to the hardware-swept choice for the kv length.
     """
     b, sq, h, d = q.shape
     skv = k.shape[1]
+    if block_q is None or block_k is None:
+        abq, abk = _auto_blocks(skv)
+        block_q = block_q or abq
+        block_k = block_k or abk
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
 

@@ -61,6 +61,18 @@ def _pad_dim(x, size, axis):
     return jnp.pad(x, widths)
 
 
+def auto_blocks(k: int, n: int):
+    """Hardware-swept block choice per weight shape (v5e, /tmp sweep + the
+    decode benchmark): square 4096-ish shapes want 512x512, the 7B MLP
+    shapes want wide n-blocks; the 32000-vocab lm_head is faster under XLA
+    (returns None = caller should use the XLA dequant-dot)."""
+    if n >= 16384:
+        return None
+    if n <= 4096 and k <= 4096:
+        return 512, 512
+    return (1024, 2048) if k >= 8192 else (512, 2048)
+
+
 @functools.partial(jax.jit, static_argnames=("block_k", "block_n",
                                              "out_dtype", "interpret"))
 def quant_matmul(x: jnp.ndarray, wq: jnp.ndarray, scale: jnp.ndarray, *,

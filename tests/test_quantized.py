@@ -98,3 +98,38 @@ def test_quant_pallas_decode_path_matches_xla():
 
     np.testing.assert_allclose(decode_logits(qcfg_pl),
                                decode_logits(qcfg_xla), rtol=5e-2, atol=5e-2)
+
+
+def test_fused_proj_decode_matches_unfused():
+    """fused_proj serving layout (qkv_proj/gateup_proj — 4 weight streams per
+    layer instead of 7): identical logits to the unfused tree, int8 and fp."""
+    import dataclasses
+
+    from infinite_video_tpu.models.decoder import init_kv_cache
+    from infinite_video_tpu.models.quantized import fuse_decoder_params
+
+    cfg, model, params, qparams, ids = _setup()
+
+    def decode_logits(use_cfg, p):
+        m = Decoder(use_cfg)
+        mask = jnp.zeros((1, 12)).at[:, :10].set(1.0)
+        cache = init_kv_cache(use_cfg, 1, 12)
+        _, cache = m.apply({"params": p}, input_ids=ids,
+                           attention_mask=mask, cache=cache)
+        mask = mask.at[:, 10].set(1.0)
+        logits, _ = m.apply({"params": p},
+                            input_ids=jnp.asarray([[7]], jnp.int32),
+                            attention_mask=mask, cache=cache)
+        return np.asarray(logits[:, -1])
+
+    # int8
+    qcfg = dataclasses.replace(cfg, quantized=True)
+    qcfg_f = dataclasses.replace(qcfg, fused_proj=True, fused_mlp=True)
+    np.testing.assert_allclose(
+        decode_logits(qcfg_f, fuse_decoder_params(qparams)),
+        decode_logits(qcfg, qparams), rtol=1e-5, atol=1e-5)
+    # fp
+    cfg_f = dataclasses.replace(cfg, fused_proj=True, fused_mlp=True)
+    np.testing.assert_allclose(
+        decode_logits(cfg_f, fuse_decoder_params(params)),
+        decode_logits(cfg, params), rtol=1e-5, atol=1e-5)

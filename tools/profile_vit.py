@@ -118,8 +118,13 @@ class _F32SoftmaxAttention(nn.Module):
         return nn.Dense(d, dtype=cfg.dtype, name="proj")(out)
 
 
-def vit_stream(attention_cls=None, gelu=None, identity_ln=False):
-    """Build a jitted scan over the EVA-g ViT with optional ablations."""
+def vit_stream(attention_cls=None, gelu=None, identity_ln=False, n=24):
+    """Build a jitted scan over the EVA-g ViT with optional ablations.
+
+    The executable for chain length `n` is compiled INSIDE the patch
+    context — a retrace outside it would silently run the unpatched model
+    (this bit round 3's first profile run; every ablation measured the
+    full model)."""
     cfg = eva_vit_g_config(dtype=jnp.bfloat16)
     patches = []
     if attention_cls is not None:
@@ -158,9 +163,11 @@ def vit_stream(attention_cls=None, gelu=None, identity_ln=False):
                                    length=n)
             return sums.sum()
 
-        # trace/compile inside the patch context so ablations take effect
-        float(run(params, 0, 2))
-    return lambda seed, n: run(params, seed, n)
+        # trace/compile inside the patch context so ablations take effect —
+        # at the TIMING chain length (a different static n would retrace
+        # outside the context with the patches reverted)
+        float(run(params, 0, n))
+    return lambda seed, n_: run(params, seed, n_)
 
 
 class _ctx:
@@ -219,23 +226,27 @@ def main():
           f"mlp={mh}, depth={cfg.depth})", flush=True)
 
     n = 24
-    full = timed("vit full (bf16)", vit_stream(), n, CHUNK, floor, flops_frame)
-    timed("vit no-attn-einsums", vit_stream(attention_cls=_NoEinsumAttention),
-          n, CHUNK, floor)
-    timed("vit no-softmax", vit_stream(attention_cls=_NoSoftmaxAttention),
-          n, CHUNK, floor)
-    timed("vit f32-softmax", vit_stream(attention_cls=_F32SoftmaxAttention),
-          n, CHUNK, floor)
-    timed("vit relu-for-gelu",
-          vit_stream(gelu=lambda x, approximate=True: jax.nn.relu(x)),
-          n, CHUNK, floor)
-    timed("vit tanh-gelu",
-          vit_stream(gelu=lambda x, approximate=False: jax.nn.gelu(x, approximate=True)),
-          n, CHUNK, floor)
-    timed("vit identity-LN", vit_stream(identity_ln=True), n, CHUNK, floor)
     mm_flops = cfg.depth * 2 * (4 * s * d * d + 2 * s * d * mh)
     timed("matmuls-only roofline", matmul_roofline_stream(), n, CHUNK, floor,
           mm_flops)
+    full = timed("vit full (bf16)", vit_stream(n=n), n, CHUNK, floor,
+                 flops_frame)
+    timed("vit no-attn-einsums",
+          vit_stream(attention_cls=_NoEinsumAttention, n=n), n, CHUNK, floor)
+    timed("vit no-softmax",
+          vit_stream(attention_cls=_NoSoftmaxAttention, n=n), n, CHUNK, floor)
+    timed("vit f32-softmax",
+          vit_stream(attention_cls=_F32SoftmaxAttention, n=n), n, CHUNK,
+          floor)
+    timed("vit relu-for-gelu",
+          vit_stream(gelu=lambda x, approximate=True: jax.nn.relu(x), n=n),
+          n, CHUNK, floor)
+    _orig_gelu = jax.nn.gelu
+    timed("vit tanh-gelu",
+          vit_stream(gelu=lambda x, approximate=False: _orig_gelu(
+              x, approximate=True), n=n), n, CHUNK, floor)
+    timed("vit identity-LN", vit_stream(identity_ln=True, n=n), n, CHUNK,
+          floor)
 
 
 if __name__ == "__main__":

@@ -79,6 +79,51 @@ def run_fixture(name: str, tokens_per_frame: int = 32,
     return ok
 
 
+def run_fast_math_downstream(name: str = "ltm_sticky_n64_l16.npz") -> bool:
+    """Does `fast_math` (bf16-MXU LTM, ~6e-3 rel err) change answers?
+
+    What a serving operator needs before flipping the flag on: replay a golden
+    fixture's chunks through ltm_attend with fast_math off/on and push both
+    context streams through a fixed 4-way option head (a stand-in for the
+    "Best option:(" next-token logit margin). PASS iff the top-1 option
+    agrees for every chunk; the probability delta is reported either way.
+    Only meaningful on the TPU backend (on CPU both paths are identical
+    fp32 — precision flags are MXU-only)."""
+    import dataclasses
+
+    d = np.load(os.path.join(GOLDEN, name))
+    base = ltm.LTMConfig(
+        num_basis=int(d["num_basis"]), chunk_len=int(d["chunk_len"]),
+        tau=float(d["tau"]), sticky=bool(d["sticky"]), tokens_per_frame=32,
+        feature_dim=768, hidden_size=768, num_heads=12)
+    params = _params(d)
+    q = jnp.asarray(d["q"])
+    head = jax.random.normal(jax.random.PRNGKey(11), (768, 4)) * 0.05
+
+    def option_probs(cfg):
+        state = ltm.init_state(cfg, batch=1)
+        probs = []
+        for i in range(int(d["num_chunks"])):
+            bins = None
+            if cfg.sticky and i > 0:
+                bins = jnp.asarray(d[f"bins{i-1}"].T.astype(np.int32))
+            ctx, state = ltm.ltm_attend(cfg, params, state,
+                                        jnp.asarray(d[f"k{i}"]), q,
+                                        sticky_bins=bins)
+            scores = jnp.mean(ctx, axis=(0, 1)) @ head
+            probs.append(np.asarray(jax.nn.softmax(scores)))
+        return np.stack(probs)
+
+    p_exact = option_probs(base)
+    p_fast = option_probs(dataclasses.replace(base, fast_math=True))
+    agree = (p_exact.argmax(-1) == p_fast.argmax(-1)).all()
+    dp = float(np.abs(p_exact - p_fast).max())
+    print(f"fast_math downstream        backend={jax.default_backend():5s} "
+          f"{'OK  ' if agree else 'FAIL'} top1_agree={bool(agree)} "
+          f"max|dP|={dp:.4f}")
+    return bool(agree)
+
+
 def _pipeline_cfgs(kind):
     """Tiny composite-pipeline geometry — mirrors tests/test_pipeline_golden.py
     (which can't be imported here: tests/conftest.py pins JAX to CPU)."""
@@ -228,6 +273,11 @@ def main():
         except Exception as e:
             print(f"{name:28s} ERROR {type(e).__name__}: {e}")
             results.append(False)
+    try:
+        results.append(run_fast_math_downstream())
+    except Exception as e:
+        print(f"fast_math downstream        ERROR {type(e).__name__}: {e}")
+        results.append(False)
     print("TPU PARITY:", "PASS" if all(results) and results else "FAIL")
     return 0 if all(results) and results else 1
 
