@@ -319,7 +319,7 @@ def _attention_ms(use_flash: bool, s: int = 2048, h: int = 32, d: int = 128,
 
 def _decode_tok_s(batch: int = 1, prefill: int = 128, n_steps: int = 128,
                   quant_pallas=None, fused: bool = False,
-                  fused_mlp: bool = False) -> float:
+                  fused_mlp: bool = False, bits: int = 8) -> float:
     """Steady-state autoregressive decode throughput of the int8 7B Mistral
     decoder (models/quantized.py serving path; modeling_llama_mem.py intent).
     Weight-only int8 keeps the 7B resident in a single v5e's HBM; weights are
@@ -336,7 +336,7 @@ def _decode_tok_s(batch: int = 1, prefill: int = 128, n_steps: int = 128,
 
     cfg = dataclasses.replace(mistral7b_config(), quantized=True,
                               quant_pallas=quant_pallas, fused_proj=fused,
-                              fused_mlp=fused_mlp)
+                              fused_mlp=fused_mlp, quant_bits=bits)
     model = Decoder(cfg)
     max_len = prefill + n_steps + 1
     params = jax.jit(
@@ -424,6 +424,12 @@ def main():
                 _decode_tok_s(batch=8, fused=True), 2)
         except Exception as e:
             extra["decode_error"] = f"{type(e).__name__}: {e}"[:200]
+        try:
+            # int4 grouped (g=128) halves the weight stream again vs int8
+            extra["decode_tok_s_int4_7b_b1"] = round(
+                _decode_tok_s(batch=1, fused=True, bits=4), 2)
+        except Exception as e:
+            extra["decode_int4_error"] = f"{type(e).__name__}: {e}"[:200]
 
     vs = (fps / base) if base else None
     print(json.dumps({

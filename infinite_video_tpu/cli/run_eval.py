@@ -66,6 +66,10 @@ def build_argparser():
                    help="bf16-MXU LTM serving mode (2.1x, ~6e-3 rel err)")
     p.add_argument("--int8", action="store_true",
                    help="int8 weight-only decoder (halves HBM/decode bandwidth)")
+    p.add_argument("--int4", action="store_true",
+                   help="int4 weight-only decoder, 128-input-group scales "
+                        "(~3.6 GB for a 7B — quarter HBM; small accuracy "
+                        "cost, serving opt-in)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny random-weight engine (pipeline smoke/integration)")
     p.add_argument("--question-batch", type=int, default=1,
@@ -239,7 +243,8 @@ def _build_tiny_engine(args):
 
 
 def _maybe_quantize(args, cfg, decoder, dec_params):
-    if not getattr(args, "int8", False):
+    int4 = getattr(args, "int4", False)
+    if not (getattr(args, "int8", False) or int4):
         return decoder, dec_params
     import dataclasses
 
@@ -249,10 +254,12 @@ def _maybe_quantize(args, cfg, decoder, dec_params):
 
     # qkv fused (gate/up NOT — see DecoderConfig.fused_proj note): +9%
     # micro-batched decode (587 vs 540 tok/s b8 on v5e), b1-neutral.
+    bits = 4 if int4 else 8
     qcfg = dataclasses.replace(cfg.decoder, fused_proj=True)
-    params = fuse_decoder_params(quantize_decoder_params(dec_params),
+    params = fuse_decoder_params(quantize_decoder_params(dec_params,
+                                                         bits=bits),
                                  qkv=True, mlp=False)
-    return QuantDecoder(qcfg), params
+    return QuantDecoder(qcfg, bits=bits), params
 
 
 def _load_tokenizer(llm_dir: str):

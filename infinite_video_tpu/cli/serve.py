@@ -88,6 +88,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="bf16-MXU LTM serving mode (2.1x, ~6e-3 rel err)")
     p.add_argument("--int8", action="store_true",
                    help="int8 weight-only decoder (single-chip 7B serving)")
+    p.add_argument("--int4", action="store_true",
+                   help="int4 weight-only decoder, grouped scales (quarter "
+                        "HBM; small accuracy cost)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny random-weight engine (plumbing smoke)")
     p.add_argument("--max-sessions", type=int, default=64,
@@ -570,7 +573,8 @@ def build_service(args) -> VideoQAService:
     source = make_frame_source("", num_frames, args.max_int,
                                image_size=image_size)
     name = f"{args.model}{'-tiny' if args.tiny else ''}" \
-           f"{'-int8' if args.int8 else ''}"
+           f"{'-int8' if args.int8 else ''}" \
+           f"{'-int4' if getattr(args, 'int4', False) else ''}"
     return VideoQAService(engine, source, model_name=name,
                           max_sessions=args.max_sessions,
                           batch_window_ms=getattr(args, "batch_window_ms", 0),

@@ -73,6 +73,12 @@ class DecoderConfig:
     # Single-chip serving only (TP sharding rules address unfused names).
     fused_proj: bool = False
     fused_mlp: bool = False
+    # Weight-only quantization width: 8 = int8 per-output-channel scales,
+    # 4 = int4 with per-(input-group, output-channel) scales (quant_group
+    # inputs per scale). int4 halves the decode weight stream again
+    # (~3.6 GB for a 7B) at a small accuracy cost — serving opt-in.
+    quant_bits: int = 8
+    quant_group: int = 128
 
     @property
     def head_dim(self) -> int:
@@ -136,11 +142,51 @@ class QuantDense(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     pallas: Optional[bool] = None   # None = auto (TPU + <=32 rows)
     interpret: bool = False         # test hook for the Pallas path
+    bits: int = 8                   # 8 | 4 (see DecoderConfig.quant_bits)
+    group: int = 128                # int4: inputs per scale group
 
     @nn.compact
     def __call__(self, x):
+        k = x.shape[-1]
+        if self.bits == 4:
+            # int4 stored as two nibbles per int8 byte, half-split along the
+            # input dim (models/quantized.py packing): native s4 arrays
+            # cannot cross the axon relay's jit-argument boundary, and
+            # packed-int8 carries identical HBM traffic. The Pallas kernel
+            # unpacks in-register — packed bytes are the only HBM reads; an
+            # XLA-level unpack materializes the dequantized matrix
+            # (measured 5.7 tok/s vs ~91 int8 on the 7B) and exists only as
+            # the non-TPU correctness fallback.
+            g = min(self.group, k)
+            n_groups = -(-k // g)
+            in2 = (k + 1) // 2
+            wq = self.param("kernel_q", nn.initializers.zeros,
+                            (in2, self.features), jnp.int8)
+            scale = self.param("scale", nn.initializers.ones,
+                               (n_groups, self.features), jnp.float32)
+            kernel_ok = k % 2 == 0 and in2 % g == 0
+            if kernel_ok and (jax.default_backend() == "tpu"
+                              or self.interpret):
+                from infinite_video_tpu.ops.pallas.quant_matmul import (
+                    quant_matmul_int4)
+
+                rows = 1
+                for s in x.shape[:-1]:
+                    rows *= s
+                y = quant_matmul_int4(x.reshape(rows, k), wq, scale,
+                                      group=g, out_dtype=self.dtype,
+                                      interpret=self.interpret)
+                return y.reshape(*x.shape[:-1], self.features)
+            low = jnp.right_shift(jnp.left_shift(wq, 4), 4)   # sign-extended
+            high = jnp.right_shift(wq, 4)
+            w4 = jnp.concatenate([low, high], axis=0)[:k]
+            # per-input-group scales can't fold into the output (they sit
+            # inside the K reduction): expand along K
+            sexp = jnp.repeat(scale.astype(self.dtype), g, axis=0)[:k]
+            w = w4.astype(self.dtype) * sexp
+            return jnp.dot(x.astype(self.dtype), w)
         wq = self.param("kernel_q", nn.initializers.zeros,
-                        (x.shape[-1], self.features), jnp.int8)
+                        (k, self.features), jnp.int8)
         scale = self.param("scale", nn.initializers.ones, (self.features,),
                            jnp.float32)
         rows = 1
@@ -151,12 +197,12 @@ class QuantDense(nn.Module):
             from infinite_video_tpu.ops.pallas.quant_matmul import (
                 auto_blocks, quant_matmul)
 
-            blocks = auto_blocks(x.shape[-1], self.features)
+            blocks = auto_blocks(k, self.features)
             if blocks is None and self.pallas is None:
                 pass  # auto mode: XLA wins this shape (wide-vocab head)
             else:
                 bk, bn = blocks or (512, 1024)
-                y = quant_matmul(x.reshape(rows, x.shape[-1]), wq, scale,
+                y = quant_matmul(x.reshape(rows, k), wq, scale,
                                  block_k=bk, block_n=bn,
                                  out_dtype=self.dtype,
                                  interpret=self.interpret)
@@ -172,7 +218,8 @@ def _dense_cls(cfg):
     if cfg.quantized:
         return functools.partial(QuantDense, dtype=cfg.dtype,
                                  pallas=cfg.quant_pallas,
-                                 interpret=cfg.flash_interpret)
+                                 interpret=cfg.flash_interpret,
+                                 bits=cfg.quant_bits, group=cfg.quant_group)
     import flax.linen as _nn
 
     return functools.partial(_nn.Dense, use_bias=False, dtype=cfg.dtype)

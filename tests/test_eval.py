@@ -413,3 +413,39 @@ def test_encode_video_stepped_matches_fused():
         chunks, system="sys text", rng=rng, between=lambda: calls.append(1)))
     assert len(calls) == 2          # chunks 1 and 2 yield first
     np.testing.assert_allclose(stepped, fused, rtol=2e-3, atol=2e-5)
+
+
+def test_llama_answer_stream_joins_to_answer():
+    """LLaMA-protocol engine: stream deltas concatenate to answer() (greedy,
+    sampling path shares the rng threading via generate_stream parity)."""
+    import jax
+    import jax.numpy as jnp
+
+    from infinite_video_tpu.eval.engine import LLaMAVideoQA
+    from infinite_video_tpu.models.decoder import Decoder, tiny_decoder_config
+
+    cfg = tiny_decoder_config()
+    decoder = Decoder(cfg)
+    params = decoder.init(jax.random.PRNGKey(0),
+                          input_ids=jnp.zeros((1, 4), jnp.int32))["params"]
+
+    class Tok:
+        eos_token_id = 2
+
+        def __call__(self, text, add_special_tokens=False):
+            ids = [3 + sum(map(ord, w)) % 100 for w in text.split()]
+            return {"input_ids": ([1] if add_special_tokens else []) + ids}
+
+        def decode(self, ids, skip_special_tokens=True):
+            return " ".join(f"w{i}" for i in ids)
+
+    eng = LLaMAVideoQA.__new__(LLaMAVideoQA)
+    eng.decoder, eng.dec_params, eng.tokenizer = decoder, params, Tok()
+
+    emb = jnp.ones((1, 4, cfg.hidden_size)) * 0.1
+    q = "what is happening"
+    full = LLaMAVideoQA.answer(eng, emb, q, max_new_tokens=11,
+                               do_sample=False)
+    deltas = list(LLaMAVideoQA.answer_stream(eng, emb, q, max_new_tokens=11,
+                                             do_sample=False, segment=4))
+    assert "".join(deltas) == full

@@ -394,3 +394,25 @@ def test_serve_sse_streaming_chat(tmp_path):
         assert hist == [{"question": "hi", "answer": "alpha beta gamma"}]
     finally:
         srv.shutdown()
+
+
+def test_serve_tiny_int4_fused_engine(tmp_path):
+    """--tiny --int4: the full quantize(bits=4) + fuse_decoder_params(qkv) +
+    QuantDecoder serving path end-to-end at tiny geometry."""
+    cv2 = pytest.importorskip("cv2")
+    from infinite_video_tpu.cli.serve import build_argparser
+
+    video = str(tmp_path / "clip.avi")
+    w = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"MJPG"), 5, (64, 64))
+    for i in range(8):
+        w.write(np.full((64, 64, 3), (i * 25) % 255, np.uint8))
+    w.release()
+
+    args = build_argparser().parse_args(
+        ["--tiny", "--int4", "--max-int", "2", "--num-samples", "2",
+         "--num-basis", "16"])
+    service = build_service(args)
+    assert service.model_name.endswith("-int4")
+    sid = service.open_session(video)["session_id"]
+    out = service.chat(sid, "what is shown?", {"max_new_tokens": 4})
+    assert isinstance(out["answer"], str)
