@@ -375,6 +375,78 @@ def _decode_tok_s(batch: int = 1, prefill: int = 128, n_steps: int = 128,
     return _chain_fps(stream, batch, n_steps, trials=2)
 
 
+def _spec_decode_tok_s(prefill: int = 128, n_base: int = 16,
+                       n_long: int = 144, k: int = 8):
+    """Speculative (prompt-lookup) greedy decode on the int8 7B: tokens/s
+    with an echo draft context (the lookup sweet spot — the context contains
+    the continuation, as in re-generated phrases / extractive answers) and
+    the plain-generate baseline through the same generate() path. Returns
+    (plain_tok_s, spec_tok_s, accepted_per_step). Timing: same-seed long
+    minus base run cancels fixed dispatch+readback; every timed dispatch is
+    a fresh (executable, inputs) pair so the relay cannot replay."""
+    import dataclasses
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from infinite_video_tpu.models.decoder import Decoder, mistral7b_config
+    from infinite_video_tpu.runtime.generation import (GenerationConfig,
+                                                       generate)
+
+    cfg = dataclasses.replace(mistral7b_config(), quantized=True,
+                              fused_proj=True)
+    model = Decoder(cfg)
+    params = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           input_ids=jnp.zeros((1, 1), jnp.int32))["params"])()
+
+    def gcfg(n, spec):
+        return GenerationConfig(max_new_tokens=n, do_sample=False,
+                                eos_token_id=-1, pad_token_id=0,
+                                spec_tokens=spec)
+
+    def emb_for(seed):
+        return jax.random.normal(jax.random.PRNGKey(seed),
+                                 (1, prefill, cfg.hidden_size), jnp.bfloat16)
+
+    def run(seed, n, spec, draft=None):
+        emb = emb_for(seed)
+        t0 = time.perf_counter()
+        toks = np.asarray(generate(model, params, gcfg(n, spec),
+                                   prompt_embeds=emb, draft_ids=draft))
+        return time.perf_counter() - t0, toks
+
+    # compile all four executables once (seed 100; its echo context warms
+    # both spec ctx-shapes). Every TIMED dispatch below uses a seed never
+    # dispatched to that executable before, so the relay cannot replay.
+    _, warm_toks = run(100, n_long, 0)
+    run(100, n_base, 0)
+    run(100, n_long, k, draft=warm_toks[0])
+    run(100, n_base, k, draft=warm_toks[0])
+
+    plain = 0.0
+    for seed in (11, 12):
+        tb, _ = run(seed, n_base, 0)
+        tl, _ = run(seed, n_long, 0)
+        plain = max(plain, (n_long - n_base) / max(tl - tb, 1e-9))
+
+    spec = 0.0
+    acc = 0.0
+    for seed in (21, 22):
+        _, toks = run(seed, n_long, 0)          # echo for THIS prompt
+        d = toks[0]
+        tb, _ = run(seed, n_base, k, draft=d)
+        tl, _ = run(seed, n_long, k, draft=d)
+        spec = max(spec, (n_long - n_base) / max(tl - tb, 1e-9))
+        _, stats = generate(model, params, gcfg(n_long, k),
+                            prompt_embeds=emb_for(seed), draft_ids=d,
+                            return_spec_stats=True)
+        acc = max(acc, stats["committed"] / max(stats["verify_steps"], 1))
+    return plain, spec, acc
+
+
 def main():
     extra = {}
 
@@ -430,6 +502,19 @@ def main():
                 _decode_tok_s(batch=1, fused=True, bits=4), 2)
         except Exception as e:
             extra["decode_int4_error"] = f"{type(e).__name__}: {e}"[:200]
+        try:
+            pl, sp, acc = _spec_decode_tok_s()
+            # CEILING measurement: random-weight greedy output self-repeats,
+            # so lookup acceptance here is ~perfect (k+1 per step). The
+            # transferable fact is the step-cost equivalence — a (k+1)-wide
+            # verify step streams the same weights as a 1-wide step — so
+            # real-workload tok/s ≈ plain × (accepted+1 per step), with
+            # acceptance set by the text, not the hardware (KERNELS.md §3c).
+            extra["decode_tok_s_spec_7b_ceiling"] = round(sp, 2)
+            extra["decode_tok_s_spec_7b_plain_generate"] = round(pl, 2)
+            extra["spec_accept_tokens_per_step"] = round(acc, 2)
+        except Exception as e:
+            extra["spec_decode_error"] = f"{type(e).__name__}: {e}"[:200]
 
     vs = (fps / base) if base else None
     print(json.dumps({

@@ -70,6 +70,10 @@ def build_argparser():
                    help="int4 weight-only decoder, 128-input-group scales "
                         "(~3.6 GB for a 7B — quarter HBM; small accuracy "
                         "cost, serving opt-in)")
+    p.add_argument("--spec-decode", type=int, default=0, metavar="K",
+                   help="speculative decoding: verify K prompt-lookup-"
+                        "drafted tokens per decode step (greedy b1; exact "
+                        "same output, fewer weight-streaming steps)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny random-weight engine (pipeline smoke/integration)")
     p.add_argument("--question-batch", type=int, default=1,
@@ -152,6 +156,14 @@ def make_frame_source(video_folder: str, num_frames: int, chunk_len: int,
 
 
 def build_engine(args):
+    engine, cfg = _build_engine(args)
+    # prompt-lookup speculative decoding (runtime/generation.py): greedy-b1
+    # answer() verifies K drafted tokens per weight-streaming decode step
+    engine.spec_tokens = int(getattr(args, "spec_decode", 0))
+    return engine, cfg
+
+
+def _build_engine(args):
     import jax
     import jax.numpy as jnp
 

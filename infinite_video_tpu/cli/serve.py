@@ -91,6 +91,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--int4", action="store_true",
                    help="int4 weight-only decoder, grouped scales (quarter "
                         "HBM; small accuracy cost)")
+    p.add_argument("--spec-decode", type=int, default=0, metavar="K",
+                   help="speculative decoding for non-batched greedy chat "
+                        "(K prompt-lookup drafts verified per step; exact "
+                        "greedy output)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny random-weight engine (plumbing smoke)")
     p.add_argument("--max-sessions", type=int, default=64,

@@ -161,13 +161,18 @@ class LLaMAVideoQA:
         embs = self._embed_segments(prompt.split("<ImageHere>"), [video_emb])
         begin = max(0, embs.shape[1] + max_new_tokens - max_length)
         embs = embs[:, begin:]
+        spec = int(getattr(self, "spec_tokens", 0))
         gcfg = GenerationConfig(max_new_tokens=max_new_tokens, do_sample=do_sample,
                                 temperature=temperature, top_p=top_p,
                                 eos_token_id=2, pad_token_id=2,
                                 stop_sequences=((835,), (2277, 29937)),
-                                pad_to_multiple=getattr(self, "pad_to_multiple", 0))
+                                pad_to_multiple=getattr(self, "pad_to_multiple", 0),
+                                spec_tokens=spec)
+        segs = prompt.split("<ImageHere>")
         tokens = generate(self.decoder, self.dec_params, gcfg, prompt_embeds=embs,
-                          rng=rng)
+                          rng=rng,
+                          draft_ids=_spec_draft_ids(self, segs)
+                          if spec and not do_sample else None)
         return _postprocess(self.tokenizer, tokens, split="###",
                             role_tag="Assistant:")
 
@@ -356,13 +361,17 @@ class MistralVideoQA:
                   f"[INST] {question}{question_prompt} [/INST] {answer_prompt}")
         segs = prompt.split("<VideoHere>")
         embs = _embed_segments_generic(self, segs, [video_emb])
+        spec = int(getattr(self, "spec_tokens", 0))
         gcfg = GenerationConfig(max_new_tokens=max_new_tokens, do_sample=do_sample,
                                 temperature=temperature, top_p=top_p,
                                 eos_token_id=2, pad_token_id=2,
                                 stop_sequences=((2,), (29871, 2)),
-                                pad_to_multiple=getattr(self, "pad_to_multiple", 0))
+                                pad_to_multiple=getattr(self, "pad_to_multiple", 0),
+                                spec_tokens=spec)
         tokens = generate(self.decoder, self.dec_params, gcfg, prompt_embeds=embs,
-                          rng=rng)
+                          rng=rng,
+                          draft_ids=_spec_draft_ids(self, segs)
+                          if spec and not do_sample else None)
         text = _postprocess(self.tokenizer, tokens, split="</s>")
         return return_prompt + text.strip().split("\n")[0]
 
@@ -437,6 +446,20 @@ def _generate_left_padded(engine, embs, gcfg, rng):
                     prompt_embeds=jnp.asarray(np.concatenate(batch, 0)),
                     prompt_mask=jnp.asarray(np.concatenate(mask, 0)),
                     rng=rng)
+
+
+def _spec_draft_ids(engine, segments):
+    """Prompt text token ids with -1 sentinels at the video-embedding spans:
+    the prompt-lookup draft context for speculative decoding
+    (runtime/generation.py). Sentinels can never match committed tokens, so
+    grams never falsely continue across a video span."""
+    parts = []
+    for i, seg in enumerate(segments):
+        parts.extend(engine.tokenizer(seg,
+                                      add_special_tokens=(i == 0))["input_ids"])
+        if i < len(segments) - 1:
+            parts.append(-1)
+    return np.asarray(parts, np.int32)
 
 
 def _embed_segments_generic(engine, segments, video_embs):

@@ -73,6 +73,16 @@ class GenerationConfig:
     # recompiling per question (remote compiles cost seconds-to-minutes on
     # tunneled TPUs). 0 = exact length (flash prefill stays available).
     pad_to_multiple: int = 0
+    # Speculative decoding (prompt-lookup drafting, greedy/B=1 only):
+    # spec_tokens > 0 verifies that many n-gram-drafted tokens per decode
+    # step in ONE widened forward. b1 decode streams the full weight set per
+    # step regardless of 1 or K+1 in-flight tokens (HBM-bound — see
+    # docs/KERNELS.md §3), so accepted drafts are nearly free. Output is the
+    # greedy continuation regardless of draft quality; only speed varies.
+    # Ignored (plain decode) when do_sample, repetition_penalty != 1, or
+    # batch > 1.
+    spec_tokens: int = 0
+    spec_ngram: int = 3
 
 
 def _top_p_filter(logits: jnp.ndarray, temperature: float, top_p: float):
@@ -149,8 +159,15 @@ def generate(
     prompt_ids: Optional[jnp.ndarray] = None,      # [B, S]
     prompt_mask: Optional[jnp.ndarray] = None,     # [B, S] 0/1
     rng: Optional[jax.Array] = None,
+    draft_ids=None,                 # 1-D ids for prompt-lookup drafting
+    return_spec_stats: bool = False,
 ) -> jnp.ndarray:
     """Returns generated token ids [B, max_new_tokens] (pad after stop/EOS).
+
+    cfg.spec_tokens > 0 (greedy, B=1) switches to speculative decoding:
+    `draft_ids` (typically the prompt's text token ids) seed the
+    prompt-lookup table; with `return_spec_stats` the return is
+    (tokens, {"verify_steps", "committed"}).
 
     The whole prefill + decode loop runs as ONE jitted executable per
     (prompt-shape, cfg) — never eagerly. Eager `model.apply` dispatches every
@@ -178,8 +195,23 @@ def generate(
         prompt_mask = jnp.ones((b, s))
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    return _generate_core(model, cfg, masked, params,
-                          jnp.asarray(prompt_embeds), prompt_mask, rng)
+    use_spec = (cfg.spec_tokens > 0 and not cfg.do_sample and b == 1
+                and cfg.repetition_penalty == 1.0)
+    if use_spec:
+        ctx0, start = _spec_context(cfg, draft_ids)
+        tokens, nsteps, committed = _generate_speculative_core(
+            model, cfg, masked, params, jnp.asarray(prompt_embeds),
+            prompt_mask, jnp.asarray(ctx0), jnp.asarray(start, jnp.int32),
+            rng)
+        if return_spec_stats:
+            return tokens, {"verify_steps": int(nsteps),
+                            "committed": int(committed) + 1}
+        return tokens
+    out = _generate_core(model, cfg, masked, params,
+                         jnp.asarray(prompt_embeds), prompt_mask, rng)
+    if return_spec_stats:
+        return out, {"verify_steps": None, "committed": None}
+    return out
 
 
 def _decode_body(model: Decoder, cfg: GenerationConfig, params, s: int,
@@ -257,6 +289,145 @@ def _generate_core(model: Decoder, cfg: GenerationConfig, masked: bool,
 
     _, tokens, _, _, _, _ = jax.lax.while_loop(cond, body, state)
     return tokens
+
+
+# ---------------------------------------------------------------------------
+# Speculative decoding: prompt-lookup drafting + one-forward verification.
+# No reference counterpart (the reference decodes strictly token-by-token via
+# HF generate, conversation_video.py:156-167); this is the TPU-serving lever
+# for the b1 latency path, where each step is weight-streaming-bound.
+
+
+def _ngram_draft(ctx, cur, last_tok, k: int, ngram: int):
+    """Draft `k` tokens by continuing the most recent earlier occurrence of
+    the trailing `ngram` committed tokens in `ctx[:cur]` (prompt-lookup).
+
+    ctx: [L] i32 — prompt/draft-context ids then committed generations;
+    entries < 0 are sentinels (left padding / video-embedding spans) and can
+    never match a committed gram. Falls back to repeating `last_tok` when no
+    match exists (drafts only affect speed, never output)."""
+    L = ctx.shape[0]
+    pos_arr = jnp.arange(L)
+    g = jax.lax.dynamic_slice(ctx, (jnp.clip(cur - ngram, 0, L - ngram),),
+                              (ngram,))
+    match = jnp.ones((L,), bool)
+    for j in range(ngram):
+        match &= jnp.roll(ctx, -j) == g[j]
+    # windows fully before the trailing gram itself (also kills cur < ngram)
+    match &= pos_arr < cur - ngram
+    p = jnp.max(jnp.where(match, pos_arr, -1))
+    found = p >= 0
+    start = jnp.clip(jnp.where(found, p + ngram, 0), 0, L - k)
+    cand = jax.lax.dynamic_slice(ctx, (start,), (k,))
+    draft = jnp.where(found, cand, jnp.full((k,), last_tok, jnp.int32))
+    # sentinel entries would gather out-of-bounds in the embedding; clamp to
+    # a real id (acceptance still requires equality with the model's pick)
+    return jnp.maximum(draft, 0)
+
+
+def _pick_greedy_window(logits, cfg: GenerationConfig, t):
+    """Greedy picks for a [B, W, V] verify window; position i has HF
+    gen_index t+1+i (mirrors _next_token's min_new_tokens EOS blocking)."""
+    if cfg.min_new_tokens >= 1:
+        gi = t + 1 + jnp.arange(logits.shape[1])
+        block = (gi < cfg.min_new_tokens)[None, :, None]
+        eos = (jnp.arange(logits.shape[-1]) == cfg.eos_token_id)[None, None, :]
+        logits = jnp.where(block & eos, -jnp.inf, logits)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("model", "cfg", "masked"))
+def _generate_speculative_core(model: Decoder, cfg: GenerationConfig,
+                               masked: bool, params, prompt_embeds,
+                               prompt_mask, ctx0, ctx_start, rng):
+    """Greedy B=1 decode, `cfg.spec_tokens` drafted tokens verified per
+    forward. Each iteration runs the decoder ONCE on [last_committed,
+    d1..dK] (width K+1, KV written at cache.pos..pos+K), accepts the longest
+    prefix where draft i+1 equals the model's pick at position i, commits
+    the accepted drafts plus the first model-divergent token, and REWINDS
+    cache.pos to the committed length — rejected slots are overwritten by
+    the next window. Returns (tokens [B, max_new], verify_steps,
+    committed)."""
+    k = cfg.spec_tokens
+    s = prompt_embeds.shape[1]
+    # prefill with the verify-window overshoot built into every buffer: the
+    # last window starts at t = max_new-2 and writes KV/mask/tokens up to
+    # k past the plain-decode extent — a dynamic_update_slice against the
+    # exact-size cache would CLAMP the start index and silently overwrite
+    # committed slots (the bug class test_speculative_matches_plain_greedy
+    # guards: it corrupts only near-budget windows)
+    pcfg = dataclasses.replace(cfg, max_new_tokens=cfg.max_new_tokens + k + 1)
+    state, pad_offset = _prefill_state(model, pcfg, masked, params,
+                                       prompt_embeds, prompt_mask, rng)
+    t0, tokens, cache0, done0, buffer_mask, _ = state
+    ctx = jax.lax.dynamic_update_slice(ctx0, tokens[0, :1], (ctx_start,))
+    max_len = buffer_mask.shape[1]
+    col = jnp.arange(max_len)[None, :]
+    idx = jnp.arange(k + 1)
+
+    def cond(st):
+        t, _, _, done, _, _, _ = st
+        return (t < cfg.max_new_tokens - 1) & ~jnp.all(done)
+
+    def body(st):
+        t, tokens, cache, done, ctx, cur, nsteps = st
+        last = tokens[0, t]
+        draft = _ngram_draft(ctx, cur, last, k, cfg.spec_ngram)
+        step_ids = jnp.concatenate([last[None], draft])[None, :]
+        pos = cache.pos
+        # valid keys: the prompt's own mask (left padding stays excluded)
+        # plus every generated/in-flight buffer slot; causality among the
+        # in-flight window is the decoder's buffer-slot causal bias
+        mask = jnp.maximum(buffer_mask,
+                           ((col >= s) & (col < pos + k + 1)).astype(
+                               buffer_mask.dtype))
+        logits, cache = model.apply({"params": params}, input_ids=step_ids,
+                                    attention_mask=mask, cache=cache,
+                                    position_offset=pad_offset)
+        out = _pick_greedy_window(logits, cfg, t)[0]            # [K+1]
+        accepted = jnp.sum(jnp.cumprod(
+            (draft == out[:k]).astype(jnp.int32)))
+        c_try = accepted + 1
+        # stop/EOS scan over the tentatively committed window (the window
+        # must be in the buffer first — stop sequences span backwards)
+        win_try = jnp.where(idx < c_try, out, cfg.pad_token_id)
+        tokens_try = jax.lax.dynamic_update_slice(tokens, win_try[None],
+                                                  (0, t + 1))
+        hit = (out == cfg.eos_token_id) & (idx < c_try)
+        for stop in cfg.stop_sequences:
+            for i in range(k + 1):
+                hit = hit.at[i].set(
+                    hit[i] | _hits_stop(tokens_try, t + 1 + i, stop)[0])
+        hit &= idx < c_try
+        first_hit = jnp.min(jnp.where(hit, idx, k + 1))
+        c = jnp.where(first_hit <= k, first_hit + 1, c_try)
+        c = jnp.minimum(c, cfg.max_new_tokens - 1 - t)           # budget cap
+        win = jnp.where(idx < c, out, cfg.pad_token_id)
+        tokens = jax.lax.dynamic_update_slice(tokens, win[None], (0, t + 1))
+        ctx = jax.lax.dynamic_update_slice(ctx, win, (cur,))
+        done = done | jnp.any(hit & (idx < c))[None]
+        cache = cache.replace(pos=pos + c)                        # rewind
+        return t + c, tokens, cache, done, ctx, cur + c, nsteps + 1
+
+    st = (jnp.asarray(t0, jnp.int32), tokens, cache0, done0, ctx,
+          jnp.asarray(ctx_start + 1, jnp.int32), jnp.asarray(0, jnp.int32))
+    t, tokens, _, _, _, _, nsteps = jax.lax.while_loop(cond, body, st)
+    return tokens[:, :cfg.max_new_tokens], nsteps, t
+
+
+def _spec_context(cfg: GenerationConfig, draft_ids) -> Tuple[np.ndarray, int]:
+    """Host-side draft-context buffer: [-1 left pad | draft ids | room for
+    max_new + K + 1 generated tokens], length bucketed to 128 so distinct
+    draft-context lengths share executables. Returns (ctx, write_start)."""
+    ids = (np.asarray(draft_ids, np.int32).reshape(-1)
+           if draft_ids is not None else np.zeros((0,), np.int32))
+    gen_room = cfg.max_new_tokens + cfg.spec_tokens + 1
+    total = ids.shape[0] + gen_room
+    padded = -(-total // 128) * 128
+    ctx = np.full((padded,), -1, np.int32)
+    start = padded - gen_room
+    ctx[start - ids.shape[0]:start] = ids
+    return ctx, start
 
 
 @partial(jax.jit, static_argnames=("model", "cfg", "masked"))

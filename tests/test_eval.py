@@ -449,3 +449,32 @@ def test_llama_answer_stream_joins_to_answer():
     deltas = list(LLaMAVideoQA.answer_stream(eng, emb, q, max_new_tokens=11,
                                              do_sample=False, segment=4))
     assert "".join(deltas) == full
+
+
+def test_engine_speculative_answer_matches_plain():
+    """--spec-decode K: engine.answer is byte-identical with speculation on
+    (greedy path), through the CLI flag and the Mistral prompt assembly."""
+    import jax
+    import jax.numpy as jnp
+
+    from infinite_video_tpu.cli.run_eval import build_engine
+    from infinite_video_tpu.cli.serve import build_argparser
+
+    base = ["--tiny", "--max-int", "2", "--num-samples", "2",
+            "--num-basis", "16"]
+    args = build_argparser().parse_args(base)
+    engine, cfg = build_engine(args)
+    assert engine.spec_tokens == 0
+    emb = jnp.asarray(
+        jax.random.normal(jax.random.PRNGKey(0),
+                          (1, 4, cfg.decoder.hidden_size)) * 0.1)
+    plain = engine.answer(emb, "what happens?", max_new_tokens=12,
+                          do_sample=False)
+    args2 = build_argparser().parse_args(base + ["--spec-decode", "5"])
+    engine2, _ = build_engine(args2)
+    engine2.enc_params = engine.enc_params
+    engine2.dec_params = engine.dec_params
+    assert engine2.spec_tokens == 5
+    spec = engine2.answer(emb, "what happens?", max_new_tokens=12,
+                          do_sample=False)
+    assert spec == plain

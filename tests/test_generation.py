@@ -386,3 +386,132 @@ def test_generate_stream_stops_early_on_eos():
                                   segment=8))
     total = np.concatenate(pieces, axis=1)
     assert total.shape[1] <= 9  # prefill token + at most one segment
+
+
+# ---------------------------------------------------------------------------
+# Speculative decoding (prompt-lookup drafting + one-forward verification)
+
+
+def _spec_cfg(**kw):
+    base = dict(max_new_tokens=24, do_sample=False, eos_token_id=-1,
+                pad_token_id=0, spec_tokens=6, spec_ngram=3)
+    base.update(kw)
+    return GenerationConfig(**base)
+
+
+def test_speculative_matches_plain_greedy():
+    """Output tokens are EXACTLY the plain greedy decode, whatever the draft
+    quality: no draft context, prompt-ids draft context, and a deliberately
+    misleading context must all reproduce generate()'s tokens."""
+    _, model, params = _tiny_pair(seed=3)
+    rng = np.random.default_rng(3)
+    for trial in range(4):
+        ids = rng.integers(3, 96, (1, 5 + trial))
+        plain = np.asarray(generate(
+            model, params, _spec_cfg(spec_tokens=0),
+            prompt_ids=jnp.asarray(ids)))
+        for draft in (None, ids[0], rng.integers(3, 96, (40,))):
+            spec = np.asarray(generate(
+                model, params, _spec_cfg(), prompt_ids=jnp.asarray(ids),
+                draft_ids=draft))
+            np.testing.assert_array_equal(spec, plain)
+
+
+def test_speculative_accepts_on_echo_context():
+    """When the draft context contains the model's own greedy continuation
+    (the prompt-lookup sweet spot: re-generated phrases), verification
+    commits multiple tokens per forward — verify_steps must come in well
+    under one per token. Also checks stats bookkeeping."""
+    _, model, params = _tiny_pair(seed=4)
+    ids = np.random.default_rng(4).integers(3, 96, (1, 6))
+    plain = np.asarray(generate(model, params, _spec_cfg(spec_tokens=0),
+                                prompt_ids=jnp.asarray(ids)))
+    echo_ctx = np.concatenate([ids[0], plain[0]])
+    spec, stats = generate(model, params, _spec_cfg(),
+                           prompt_ids=jnp.asarray(ids), draft_ids=echo_ctx,
+                           return_spec_stats=True)
+    np.testing.assert_array_equal(np.asarray(spec), plain)
+    assert stats["committed"] == 24
+    # 24 tokens in <= 7 verify steps (ceil(24/ (6+1)) = 4 ideal; the first
+    # couple of steps have no gram match yet)
+    assert stats["verify_steps"] <= 7, stats
+
+
+def test_speculative_stop_sequence_and_eos():
+    """Stop sequences and EOS inside a committed window truncate exactly as
+    the plain loop does (pad after the stop position)."""
+    _, model, params = _tiny_pair(seed=1)
+    ids = np.random.default_rng(1).integers(3, 96, (1, 6))
+    free = np.asarray(generate(
+        model, params, _spec_cfg(max_new_tokens=10, spec_tokens=0),
+        prompt_ids=jnp.asarray(ids))[0])
+    stop_tok = int(free[3])
+    for cfg_kw in ({"stop_sequences": ((stop_tok,),)},
+                   {"stop_sequences": ((int(free[2]), int(free[3])),)},
+                   {"eos_token_id": stop_tok}):
+        plain = np.asarray(generate(
+            model, params, _spec_cfg(max_new_tokens=10, spec_tokens=0,
+                                     **cfg_kw),
+            prompt_ids=jnp.asarray(ids)))
+        spec = np.asarray(generate(
+            model, params, _spec_cfg(max_new_tokens=10, **cfg_kw),
+            prompt_ids=jnp.asarray(ids), draft_ids=free))
+        np.testing.assert_array_equal(spec, plain)
+
+
+def test_speculative_min_new_tokens_and_tiny_budgets():
+    """min_new_tokens EOS blocking applies per window position; budgets
+    smaller than the window commit exactly max_new_tokens."""
+    _, model, params = _tiny_pair(seed=2)
+    ids = np.random.default_rng(2).integers(3, 96, (1, 4))
+    free = np.asarray(generate(
+        model, params, _spec_cfg(max_new_tokens=8, spec_tokens=0),
+        prompt_ids=jnp.asarray(ids))[0])
+    eos = int(free[0])
+    for kw in ({"max_new_tokens": 2}, {"max_new_tokens": 3, "spec_tokens": 8},
+               {"eos_token_id": eos, "min_new_tokens": 3}):
+        plain = np.asarray(generate(
+            model, params, _spec_cfg(spec_tokens=0, **{k: v for k, v in
+                                                       kw.items()
+                                                       if k != "spec_tokens"}),
+            prompt_ids=jnp.asarray(ids)))
+        spec = np.asarray(generate(model, params, _spec_cfg(**kw),
+                                   prompt_ids=jnp.asarray(ids),
+                                   draft_ids=free))
+        np.testing.assert_array_equal(spec, plain)
+
+
+def test_speculative_with_pad_to_multiple_and_embeds():
+    """Left-pad bucketing (serving mode) + prompt embeddings compose with
+    the speculative path."""
+    _, model, params = _tiny_pair(seed=5)
+    ids = np.random.default_rng(5).integers(3, 96, (1, 7))
+    embs = model.apply({"params": params}, input_ids=jnp.asarray(ids),
+                       embed_only=True)
+    plain = np.asarray(generate(
+        model, params, _spec_cfg(spec_tokens=0, pad_to_multiple=16),
+        prompt_embeds=embs))
+    spec = np.asarray(generate(
+        model, params, _spec_cfg(pad_to_multiple=16), prompt_embeds=embs,
+        draft_ids=ids[0]))
+    np.testing.assert_array_equal(spec, plain)
+
+
+def test_speculative_falls_back_when_unsupported():
+    """Sampling / batch>1 / repetition penalty silently use the plain path
+    (same executable, same results as spec_tokens=0)."""
+    _, model, params = _tiny_pair(seed=0)
+    ids = np.random.default_rng(0).integers(3, 96, (2, 6))
+    sampled_spec = np.asarray(generate(
+        model, params, _spec_cfg(do_sample=True, temperature=0.8, top_p=0.9),
+        prompt_ids=jnp.asarray(ids[:1]), rng=jax.random.PRNGKey(7)))
+    sampled_plain = np.asarray(generate(
+        model, params, _spec_cfg(do_sample=True, temperature=0.8, top_p=0.9,
+                                 spec_tokens=0),
+        prompt_ids=jnp.asarray(ids[:1]), rng=jax.random.PRNGKey(7)))
+    np.testing.assert_array_equal(sampled_spec, sampled_plain)
+    batched = np.asarray(generate(model, params, _spec_cfg(),
+                                  prompt_ids=jnp.asarray(ids)))
+    batched_plain = np.asarray(generate(model, params, _spec_cfg(spec_tokens=0),
+                                        prompt_ids=jnp.asarray(ids)))
+    np.testing.assert_array_equal(batched, batched_plain)
