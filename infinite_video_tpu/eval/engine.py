@@ -172,7 +172,7 @@ class LLaMAVideoQA:
         tokens = generate(self.decoder, self.dec_params, gcfg, prompt_embeds=embs,
                           rng=rng,
                           draft_ids=_spec_draft_ids(self, segs)
-                          if spec and not do_sample else None)
+                          if spec else None)
         return _postprocess(self.tokenizer, tokens, split="###",
                             role_tag="Assistant:")
 
@@ -371,7 +371,7 @@ class MistralVideoQA:
         tokens = generate(self.decoder, self.dec_params, gcfg, prompt_embeds=embs,
                           rng=rng,
                           draft_ids=_spec_draft_ids(self, segs)
-                          if spec and not do_sample else None)
+                          if spec else None)
         text = _postprocess(self.tokenizer, tokens, split="</s>")
         return return_prompt + text.strip().split("\n")[0]
 

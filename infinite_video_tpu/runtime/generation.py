@@ -73,14 +73,15 @@ class GenerationConfig:
     # recompiling per question (remote compiles cost seconds-to-minutes on
     # tunneled TPUs). 0 = exact length (flash prefill stays available).
     pad_to_multiple: int = 0
-    # Speculative decoding (prompt-lookup drafting, greedy/B=1 only):
+    # Speculative decoding (prompt-lookup drafting, B=1 only):
     # spec_tokens > 0 verifies that many n-gram-drafted tokens per decode
     # step in ONE widened forward. b1 decode streams the full weight set per
     # step regardless of 1 or K+1 in-flight tokens (HBM-bound — see
-    # docs/KERNELS.md §3), so accepted drafts are nearly free. Output is the
-    # greedy continuation regardless of draft quality; only speed varies.
-    # Ignored (plain decode) when do_sample, repetition_penalty != 1, or
-    # batch > 1.
+    # docs/KERNELS.md §3), so accepted drafts are nearly free. Greedy decode
+    # yields the exact greedy continuation regardless of draft quality;
+    # sampling uses exact point-mass speculative sampling (same output
+    # DISTRIBUTION as plain sampling; rng consumption differs). Ignored
+    # (plain decode) when repetition_penalty != 1 or batch > 1.
     spec_tokens: int = 0
     spec_ngram: int = 3
 
@@ -164,7 +165,7 @@ def generate(
 ) -> jnp.ndarray:
     """Returns generated token ids [B, max_new_tokens] (pad after stop/EOS).
 
-    cfg.spec_tokens > 0 (greedy, B=1) switches to speculative decoding:
+    cfg.spec_tokens > 0 (B=1) switches to speculative decoding:
     `draft_ids` (typically the prompt's text token ids) seed the
     prompt-lookup table; with `return_spec_stats` the return is
     (tokens, {"verify_steps", "committed"}).
@@ -195,7 +196,7 @@ def generate(
         prompt_mask = jnp.ones((b, s))
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    use_spec = (cfg.spec_tokens > 0 and not cfg.do_sample and b == 1
+    use_spec = (cfg.spec_tokens > 0 and b == 1
                 and cfg.repetition_penalty == 1.0)
     if use_spec:
         ctx0, start = _spec_context(cfg, draft_ids)
@@ -340,14 +341,24 @@ def _pick_greedy_window(logits, cfg: GenerationConfig, t):
 def _generate_speculative_core(model: Decoder, cfg: GenerationConfig,
                                masked: bool, params, prompt_embeds,
                                prompt_mask, ctx0, ctx_start, rng):
-    """Greedy B=1 decode, `cfg.spec_tokens` drafted tokens verified per
-    forward. Each iteration runs the decoder ONCE on [last_committed,
-    d1..dK] (width K+1, KV written at cache.pos..pos+K), accepts the longest
-    prefix where draft i+1 equals the model's pick at position i, commits
-    the accepted drafts plus the first model-divergent token, and REWINDS
-    cache.pos to the committed length — rejected slots are overwritten by
-    the next window. Returns (tokens [B, max_new], verify_steps,
-    committed)."""
+    """B=1 decode, `cfg.spec_tokens` drafted tokens verified per forward.
+    Each iteration runs the decoder ONCE on [last_committed, d1..dK] (width
+    K+1, KV written at cache.pos..pos+K), commits the accepted draft prefix
+    plus one model token, and REWINDS cache.pos to the committed length —
+    rejected slots are overwritten by the next window.
+
+    Greedy: accept while draft i+1 equals the model's argmax at position i;
+    the first divergent position commits the argmax token.
+    Sampled: exact speculative sampling with a point-mass draft — accept
+    d_{i+1} with probability p_i(d_{i+1}) under the warped (temperature/
+    top-p/min-new) distribution; the first rejection commits a sample from
+    the residual p_i restricted to x != d_{i+1} (= p conditioned on not-d,
+    the max(p-q,0) residual for a point mass q), a full acceptance commits
+    a bonus sample from p_K. Marginally and jointly the output sequence is
+    distributed exactly as plain sampling (tested via TV distance); rng
+    consumption differs, so same-seed traces differ from the plain path.
+
+    Returns (tokens [B, max_new], verify_steps, committed)."""
     k = cfg.spec_tokens
     s = prompt_embeds.shape[1]
     # prefill with the verify-window overshoot built into every buffer: the
@@ -359,18 +370,18 @@ def _generate_speculative_core(model: Decoder, cfg: GenerationConfig,
     pcfg = dataclasses.replace(cfg, max_new_tokens=cfg.max_new_tokens + k + 1)
     state, pad_offset = _prefill_state(model, pcfg, masked, params,
                                        prompt_embeds, prompt_mask, rng)
-    t0, tokens, cache0, done0, buffer_mask, _ = state
+    t0, tokens, cache0, done0, buffer_mask, rng0 = state
     ctx = jax.lax.dynamic_update_slice(ctx0, tokens[0, :1], (ctx_start,))
     max_len = buffer_mask.shape[1]
     col = jnp.arange(max_len)[None, :]
     idx = jnp.arange(k + 1)
 
     def cond(st):
-        t, _, _, done, _, _, _ = st
+        t, _, _, done, _, _, _, _ = st
         return (t < cfg.max_new_tokens - 1) & ~jnp.all(done)
 
     def body(st):
-        t, tokens, cache, done, ctx, cur, nsteps = st
+        t, tokens, cache, done, ctx, cur, rng, nsteps = st
         last = tokens[0, t]
         draft = _ngram_draft(ctx, cur, last, k, cfg.spec_ngram)
         step_ids = jnp.concatenate([last[None], draft])[None, :]
@@ -384,9 +395,35 @@ def _generate_speculative_core(model: Decoder, cfg: GenerationConfig,
         logits, cache = model.apply({"params": params}, input_ids=step_ids,
                                     attention_mask=mask, cache=cache,
                                     position_offset=pad_offset)
-        out = _pick_greedy_window(logits, cfg, t)[0]            # [K+1]
-        accepted = jnp.sum(jnp.cumprod(
-            (draft == out[:k]).astype(jnp.int32)))
+        if cfg.do_sample:
+            rng, ku, kr, kb = jax.random.split(rng, 4)
+            # warped per-position logits (same pipeline as _next_token:
+            # min-new EOS block, then temperature + nucleus filtering)
+            lw = logits[0]                                      # [K+1, V]
+            if cfg.min_new_tokens >= 1:
+                gi = t + 1 + idx
+                block = (gi < cfg.min_new_tokens)[:, None]
+                eos = (jnp.arange(lw.shape[-1]) == cfg.eos_token_id)[None, :]
+                lw = jnp.where(block & eos, -jnp.inf, lw)
+            fl = _top_p_filter(lw, cfg.temperature, cfg.top_p)  # [K+1, V]
+            p = jax.nn.softmax(fl, axis=-1)
+            pd = p[jnp.arange(k), draft]                        # p_i(d_{i+1})
+            accept = jax.random.uniform(ku, (k,)) < pd
+            accepted = jnp.sum(jnp.cumprod(accept.astype(jnp.int32)))
+            # residual samples for every position (used only at the first
+            # rejection): p_i with the draft token excluded; plus the bonus
+            # sample from p_K for full acceptance
+            res_logits = fl.at[jnp.arange(k), draft].set(-jnp.inf)
+            cand = jnp.concatenate([
+                jax.random.categorical(kr, res_logits[:k], axis=-1),
+                jax.random.categorical(kb, fl[k:k + 1], axis=-1),
+            ]).astype(jnp.int32)                                # [K+1]
+            out = jnp.where(idx < accepted,
+                            jnp.concatenate([draft, draft[:1]]), cand)
+        else:
+            out = _pick_greedy_window(logits, cfg, t)[0]        # [K+1]
+            accepted = jnp.sum(jnp.cumprod(
+                (draft == out[:k]).astype(jnp.int32)))
         c_try = accepted + 1
         # stop/EOS scan over the tentatively committed window (the window
         # must be in the buffer first — stop sequences span backwards)
@@ -407,11 +444,12 @@ def _generate_speculative_core(model: Decoder, cfg: GenerationConfig,
         ctx = jax.lax.dynamic_update_slice(ctx, win, (cur,))
         done = done | jnp.any(hit & (idx < c))[None]
         cache = cache.replace(pos=pos + c)                        # rewind
-        return t + c, tokens, cache, done, ctx, cur + c, nsteps + 1
+        return t + c, tokens, cache, done, ctx, cur + c, rng, nsteps + 1
 
     st = (jnp.asarray(t0, jnp.int32), tokens, cache0, done0, ctx,
-          jnp.asarray(ctx_start + 1, jnp.int32), jnp.asarray(0, jnp.int32))
-    t, tokens, _, _, _, _, nsteps = jax.lax.while_loop(cond, body, st)
+          jnp.asarray(ctx_start + 1, jnp.int32), rng0,
+          jnp.asarray(0, jnp.int32))
+    t, tokens, _, _, _, _, _, nsteps = jax.lax.while_loop(cond, body, st)
     return tokens[:, :cfg.max_new_tokens], nsteps, t
 
 
