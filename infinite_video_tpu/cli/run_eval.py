@@ -70,6 +70,10 @@ def build_argparser():
                    help="int4 weight-only decoder, 128-input-group scales "
                         "(~3.6 GB for a 7B — quarter HBM; small accuracy "
                         "cost, serving opt-in)")
+    p.add_argument("--kv-int8", action="store_true",
+                   help="int8 KV cache (quantize-on-write, per-row scales): "
+                        "halves KV HBM for long chat sessions; orthogonal "
+                        "to --int8/--int4 weight quantization")
     p.add_argument("--spec-decode", type=int, default=0, metavar="K",
                    help="speculative decoding: verify K prompt-lookup-"
                         "drafted tokens per decode step (greedy b1; exact "
@@ -160,6 +164,14 @@ def build_engine(args):
     # prompt-lookup speculative decoding (runtime/generation.py): greedy-b1
     # answer() verifies K drafted tokens per weight-streaming decode step
     engine.spec_tokens = int(getattr(args, "spec_decode", 0))
+    if getattr(args, "kv_int8", False):
+        # int8 KV cache (DecoderConfig.kv_quant): orthogonal to weight
+        # quantization — same params, cache buffers allocate as int8+scales.
+        import dataclasses as _dc
+
+        from infinite_video_tpu.models.decoder import Decoder as _Dec
+
+        engine.decoder = _Dec(_dc.replace(engine.decoder.cfg, kv_quant=True))
     return engine, cfg
 
 

@@ -91,6 +91,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--int4", action="store_true",
                    help="int4 weight-only decoder, grouped scales (quarter "
                         "HBM; small accuracy cost)")
+    p.add_argument("--kv-int8", action="store_true",
+                   help="int8 KV cache (quantize-on-write): halves KV HBM "
+                        "per session — more concurrent chats per chip")
     p.add_argument("--spec-decode", type=int, default=0, metavar="K",
                    help="speculative decoding for non-batched greedy chat "
                         "(K prompt-lookup drafts verified per step; exact "
@@ -578,7 +581,8 @@ def build_service(args) -> VideoQAService:
                                image_size=image_size)
     name = f"{args.model}{'-tiny' if args.tiny else ''}" \
            f"{'-int8' if args.int8 else ''}" \
-           f"{'-int4' if getattr(args, 'int4', False) else ''}"
+           f"{'-int4' if getattr(args, 'int4', False) else ''}" \
+           f"{'-kv8' if getattr(args, 'kv_int8', False) else ''}"
     return VideoQAService(engine, source, model_name=name,
                           max_sessions=args.max_sessions,
                           batch_window_ms=getattr(args, "batch_window_ms", 0),

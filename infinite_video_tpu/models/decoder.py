@@ -79,6 +79,15 @@ class DecoderConfig:
     # (~3.6 GB for a 7B) at a small accuracy cost — serving opt-in.
     quant_bits: int = 8
     quant_group: int = 128
+    # int8 KV cache: entries quantize on write with one symmetric fp32 scale
+    # per (batch, position, kv-head) row and dequantize at the attention
+    # read. Halves KV HBM (a 32k-token Mistral-7B cache drops 4.2→2.2 GB
+    # incl. scales) — that is the capacity lever for long-video chat
+    # sessions and batched serving. Prefill on a fresh cache still attends
+    # over the exact in-flight k/v (the flash path never reads the cache),
+    # so only post-prefill decode sees quantization error (per-element
+    # ≤ scale/2; see tests/test_kv_quant.py for the logit-drift bound).
+    kv_quant: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -113,14 +122,39 @@ class KVCache:
     k: jnp.ndarray  # [layers, B, max_len, kv_heads, head_dim]
     v: jnp.ndarray
     pos: jnp.ndarray  # i32 scalar — number of filled positions
+    # int8 mode only (DecoderConfig.kv_quant): per-row symmetric scales,
+    # [layers, B, max_len, kv_heads] fp32. None for fp caches.
+    k_scale: Optional[jnp.ndarray] = None
+    v_scale: Optional[jnp.ndarray] = None
 
 
 def init_kv_cache(cfg: DecoderConfig, batch: int, max_len: int,
                   dtype=None) -> KVCache:
-    dtype = dtype or cfg.dtype
     shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    # getattr: duck-typed configs (models/phi.py) predate the kv_quant field
+    if getattr(cfg, "kv_quant", False):
+        sshape = shape[:-1]
+        return KVCache(k=jnp.zeros(shape, jnp.int8),
+                       v=jnp.zeros(shape, jnp.int8),
+                       pos=jnp.zeros((), jnp.int32),
+                       k_scale=jnp.zeros(sshape, jnp.float32),
+                       v_scale=jnp.zeros(sshape, jnp.float32))
+    dtype = dtype or cfg.dtype
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
                    pos=jnp.zeros((), jnp.int32))
+
+
+def _kv_quantize(x: jnp.ndarray):
+    """[B, S, KV, D] -> (int8 rows, fp32 per-row scales [B, S, KV])."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def _kv_dequantize(q: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    return q.astype(jnp.float32) * scale[..., None]
 
 
 def _rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -263,6 +297,8 @@ class DecoderLayer(nn.Module):
         cache_k: Optional[jnp.ndarray],      # [B, max_len, kv, hd] | None
         cache_v: Optional[jnp.ndarray],
         cache_pos: Optional[jnp.ndarray],
+        cache_k_scale: Optional[jnp.ndarray] = None,  # [B, max_len, kv]
+        cache_v_scale: Optional[jnp.ndarray] = None,
     ):
         cfg = self.cfg
         h, kv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -282,7 +318,28 @@ class DecoderLayer(nn.Module):
         k = _rope(k.reshape(b, s, kv, hd), positions, cfg.rope_theta)
         v = v.reshape(b, s, kv, hd)
 
-        if cache_k is not None:
+        if cache_k is not None and cache_k.dtype == jnp.int8:
+            # int8 KV cache (cfg.kv_quant): quantize the new rows on write,
+            # dequantize the whole buffer at the read (fp32, folded into the
+            # fp32 score einsum below). Scales are per (b, pos, kv-head) row.
+            kq, ks = _kv_quantize(k)
+            vq, vs = _kv_quantize(v)
+            cache_k = jax.lax.dynamic_update_slice(
+                cache_k, kq, (0, cache_pos, 0, 0))
+            cache_v = jax.lax.dynamic_update_slice(
+                cache_v, vq, (0, cache_pos, 0, 0))
+            cache_k_scale = jax.lax.dynamic_update_slice(
+                cache_k_scale, ks, (0, cache_pos, 0))
+            cache_v_scale = jax.lax.dynamic_update_slice(
+                cache_v_scale, vs, (0, cache_pos, 0))
+            if mask_bias is None:
+                # fresh-cache flash prefill never reads the buffer — the
+                # in-flight k/v stay exact (see KVCache note).
+                k_att, v_att = k, v
+            else:
+                k_att = _kv_dequantize(cache_k, cache_k_scale)
+                v_att = _kv_dequantize(cache_v, cache_v_scale)
+        elif cache_k is not None:
             # Write the new keys/values at cache_pos, attend over the buffer.
             cache_k = jax.lax.dynamic_update_slice(
                 cache_k, k.astype(cache_k.dtype), (0, cache_pos, 0, 0))
@@ -331,7 +388,7 @@ class DecoderLayer(nn.Module):
             gate = dense(cfg.intermediate_size, name="gate_proj")(y)
             up = dense(cfg.intermediate_size, name="up_proj")(y)
         y = dense(cfg.hidden_size, name="down_proj")(jax.nn.silu(gate) * up)
-        return res + y, cache_k, cache_v
+        return res + y, cache_k, cache_v, cache_k_scale, cache_v_scale
 
 
 class Decoder(nn.Module):
@@ -405,16 +462,21 @@ class Decoder(nn.Module):
 
         layer_cls = nn.remat(DecoderLayer) if (cfg.remat and cache is None) \
             else DecoderLayer
-        new_k, new_v = [], []
+        quant_kv = cache is not None and cache.k_scale is not None
+        new_k, new_v, new_ks, new_vs = [], [], [], []
         for i in range(cfg.num_layers):
             ck = cache.k[i] if cache is not None else None
             cv = cache.v[i] if cache is not None else None
             cp = cache.pos if cache is not None else None
-            x, ck, cv = layer_cls(cfg, name=f"layer_{i}")(
-                x, rope_positions, bias, ck, cv, cp)
+            cks = cache.k_scale[i] if quant_kv else None
+            cvs = cache.v_scale[i] if quant_kv else None
+            x, ck, cv, cks, cvs = layer_cls(cfg, name=f"layer_{i}")(
+                x, rope_positions, bias, ck, cv, cp, cks, cvs)
             if cache is not None:
                 new_k.append(ck)
                 new_v.append(cv)
+                new_ks.append(cks)
+                new_vs.append(cvs)
 
         x = RMSNorm(cfg.rms_eps, name="final_ln")(x)
         logits = _dense_cls(cfg)(cfg.vocab_size, name="lm_head")(x)
@@ -422,5 +484,7 @@ class Decoder(nn.Module):
 
         if cache is not None:
             cache = KVCache(k=jnp.stack(new_k), v=jnp.stack(new_v),
-                            pos=cache.pos + s)
+                            pos=cache.pos + s,
+                            k_scale=jnp.stack(new_ks) if quant_kv else None,
+                            v_scale=jnp.stack(new_vs) if quant_kv else None)
         return logits, cache

@@ -50,6 +50,12 @@ class ViTConfig:
     # delta (≲3e-3 abs) is below bf16 rounding, so bf16 serving uses tanh
     # and fp32 parity/golden paths keep erf.
     gelu: str = "auto"
+    # Attention implementation: "xla" (batched einsums — the default) or
+    # "pallas" (ops/pallas/vit_attention.py whole-row kernel). See the A/B
+    # in docs/KERNELS.md before flipping: at the EVA-g geometry XLA's
+    # einsum lowering is the measured winner in-context.
+    attn_impl: str = "xla"
+    attn_interpret: bool = False      # test hook for the Pallas path
 
     @property
     def gelu_approximate(self) -> bool:
@@ -150,6 +156,13 @@ class ViTAttention(nn.Module):
         b, s, _ = x.shape
         qkv = qkv.reshape(b, s, 3, cfg.num_heads, cfg.head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]      # [b, s, h, hd]
+        if cfg.attn_impl == "pallas":
+            from infinite_video_tpu.ops.pallas.vit_attention import (
+                vit_attention)
+            out = vit_attention(q, k, v, sm_scale=cfg.head_dim ** -0.5,
+                                interpret=cfg.attn_interpret)
+            out = out.reshape(b, s, d)
+            return nn.Dense(d, dtype=cfg.dtype, name="proj")(out)
         q = q * (cfg.head_dim ** -0.5)
         # fp32 scores/softmax: measured free on v5e (tools/profile_vit.py —
         # the ViT is matmul-bound; the softmax ablation moves nothing)

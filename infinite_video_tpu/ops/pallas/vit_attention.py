@@ -1,0 +1,113 @@
+"""Whole-sequence attention for short sequences (Pallas) — the ViT geometry.
+
+EVA-g's attention (S=257 tokens, head_dim=88, 16 heads — eva_vit.py:62-146
+geometry) is the worst case for XLA's batched-einsum lowering: the per-head
+GEMMs are [257x88]·[88x257], so padding (257→tile rows, 88→128 lanes) plus
+per-batch-element dispatch leaves the einsums at ~19 TF/s issued and ~1.0 ms
+per frame including the softmax (tools/profile_vit.py breakdown in
+docs/KERNELS.md). Flash-style blocking does not help at this length — the
+whole [S, S] score matrix fits VMEM comfortably — so this kernel takes the
+opposite shape from flash_attention.py:
+
+  - grid over (batch·heads / block_bh); each step loads q/k/v for block_bh
+    heads, computes scores with ONE dot (contraction on the padded head_dim,
+    zero-padded lanes contribute nothing), does a plain fp32 softmax over the
+    full row in VMEM (no online-softmax running state), and one p·v dot.
+  - block_bh > 1 unrolls independent (dot, softmax, dot) chains in one kernel
+    body so Mosaic can overlap head i's VPU softmax with head i+1's MXU dots.
+  - padded key columns are masked with -1e30 before the softmax; padded query
+    rows compute garbage that the wrapper slices off; padded head_dim lanes
+    are zeros on both dot sides.
+
+Numerics match the XLA path in models/vit.py exactly in op order: fp32
+scores (preferred_element_type), fp32 softmax, p cast to the value dtype for
+the second dot.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+__all__ = ["vit_attention"]
+
+_NEG_INF = -1e30
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float, seq_len: int,
+            block_bh: int):
+    s_p = q_ref.shape[1]
+    need_mask = s_p != seq_len
+    if need_mask:
+        col = jax.lax.broadcasted_iota(jnp.int32, (s_p, s_p), 1)
+        mask = jnp.where(col < seq_len, 0.0, _NEG_INF).astype(jnp.float32)
+    for i in range(block_bh):
+        q = q_ref[i]                                     # [s_p, d_p]
+        k = k_ref[i]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale   # [s_p, s_p]
+        if need_mask:
+            s = s + mask
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o_ref[i] = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[i], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _pad_to(x, size, axis):
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "block_bh",
+                                             "interpret"))
+def vit_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
+                  sm_scale: float | None = None, block_bh: int = 8,
+                  interpret: bool = False) -> jnp.ndarray:
+    """Bidirectional whole-row attention. q/k/v: [B, S, H, D] -> [B, S, H, D].
+
+    For short S only (the [S_p, S_p] fp32 scores must fit VMEM per head —
+    fine up to S≈1500); use flash_attention for long sequences.
+    """
+    b, sq, h, d = q.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+
+    bh = b * h
+    while bh % block_bh:
+        block_bh //= 2
+
+    def to_grid(x):
+        return x.transpose(0, 2, 1, 3).reshape(bh, x.shape[1], d)
+
+    # sublane multiple for bf16 rows is 16; lanes pad to 128
+    s_p = -(-sq // 16) * 16
+    d_p = max(-(-d // 128) * 128, 128)
+    qg = _pad_to(_pad_to(to_grid(q), s_p, 1), d_p, 2)
+    kg = _pad_to(_pad_to(to_grid(k), s_p, 1), d_p, 2)
+    vg = _pad_to(_pad_to(to_grid(v), s_p, 1), d_p, 2)
+
+    kernel = functools.partial(_kernel, sm_scale=sm_scale, seq_len=sq,
+                               block_bh=block_bh)
+    spec = pl.BlockSpec((block_bh, s_p, d_p), lambda i: (i, 0, 0))
+    out = pl.pallas_call(
+        kernel,
+        grid=(bh // block_bh,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((bh, s_p, d_p), q.dtype),
+        interpret=interpret,
+    )(qg, kg, vg)
+
+    return out[:, :sq, :d].reshape(b, h, sq, d).transpose(0, 2, 1, 3)

@@ -1,0 +1,67 @@
+"""Whole-row ViT attention kernel vs XLA reference (interpret mode on CPU)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from infinite_video_tpu.models.vit import ViTAttention, ViTConfig
+from infinite_video_tpu.ops.pallas.vit_attention import vit_attention
+
+
+def _ref_attention(q, k, v):
+    d = q.shape[-1]
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) / math.sqrt(d)
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v)
+
+
+@pytest.mark.parametrize("shape", [
+    (2, 257, 4, 88),    # EVA-g geometry (ragged S and head_dim)
+    (1, 128, 3, 64),    # aligned S, odd head count (forces block_bh fallback)
+    (2, 50, 2, 32),     # tiny ragged everything
+])
+def test_vit_attention_matches_xla(shape):
+    b, s, h, d = shape
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(kq, (b, s, h, d), jnp.float32)
+    k = jax.random.normal(kk, (b, s, h, d), jnp.float32)
+    v = jax.random.normal(kv, (b, s, h, d), jnp.float32)
+    out = vit_attention(q, k, v, interpret=True)
+    ref = _ref_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_vit_attention_bf16():
+    # bf16 inputs: the kernel computes fp32 scores from the raw bf16 q (scale
+    # applied to the fp32 score), which is slightly *more* precise than the
+    # XLA path's bf16 q*scale; compare within bf16 rounding.
+    b, s, h, d = 2, 257, 4, 88
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(1), 3)
+    q = jax.random.normal(kq, (b, s, h, d), jnp.bfloat16)
+    k = jax.random.normal(kk, (b, s, h, d), jnp.bfloat16)
+    v = jax.random.normal(kv, (b, s, h, d), jnp.bfloat16)
+    out = vit_attention(q, k, v, interpret=True)
+    ref = _ref_attention(q.astype(jnp.float32), k.astype(jnp.float32),
+                         v.astype(jnp.float32))
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_vit_attention_module_wiring():
+    """ViTConfig.attn_impl='pallas' produces the same block output as 'xla'."""
+    base = dict(img_size=28, patch_size=14, embed_dim=64, depth=1,
+                num_heads=4, mlp_hidden=128, dtype=jnp.float32, gelu="erf")
+    cfg_x = ViTConfig(**base)
+    cfg_p = ViTConfig(**base, attn_impl="pallas", attn_interpret=True)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 64), jnp.float32)
+    params = ViTAttention(cfg_x).init(jax.random.PRNGKey(3), x)
+    out_x = ViTAttention(cfg_x).apply(params, x)
+    out_p = ViTAttention(cfg_p).apply(params, x)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               rtol=2e-5, atol=2e-5)
