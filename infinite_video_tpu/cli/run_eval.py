@@ -171,7 +171,13 @@ def build_engine(args):
 
         from infinite_video_tpu.models.decoder import Decoder as _Dec
 
-        engine.decoder = _Dec(_dc.replace(engine.decoder.cfg, kv_quant=True))
+        cfg_ = engine.decoder.cfg
+        if not (_dc.is_dataclass(cfg_) and hasattr(cfg_, "kv_quant")):
+            raise SystemExit(
+                "--kv-int8: this model's decoder config "
+                f"({type(cfg_).__name__}) does not support the int8 KV "
+                "cache (no kv_quant field)")
+        engine.decoder = _Dec(_dc.replace(cfg_, kv_quant=True))
     return engine, cfg
 
 

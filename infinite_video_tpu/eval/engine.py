@@ -64,8 +64,9 @@ class LLaMAVideoQA:
         @jax.jit
         def _encode(enc_params, chunks, rng):
             # fused per-chunk scan: measured faster than two-phase batched-ViT
-            # streaming at EVA-g geometry (188 vs 174 f/s on v5e, bench.py
-            # e2e_vision* metrics) — the batch-8 ViT already saturates the MXU
+            # streaming at EVA-g geometry (BENCH_r03: 222.5 vs 159.2 f/s on
+            # v5e, bench.py e2e_vision* metrics) — the batch-8 ViT already
+            # saturates the MXU
             def enc(chunk, states, key):
                 return encoder.apply({"params": enc_params}, chunk, states,
                                      ltm_rng=key)

@@ -318,10 +318,15 @@ class DecoderLayer(nn.Module):
         k = _rope(k.reshape(b, s, kv, hd), positions, cfg.rope_theta)
         v = v.reshape(b, s, kv, hd)
 
+        quant_read = False
+        k_rowscale = v_rowscale = None
         if cache_k is not None and cache_k.dtype == jnp.int8:
-            # int8 KV cache (cfg.kv_quant): quantize the new rows on write,
-            # dequantize the whole buffer at the read (fp32, folded into the
-            # fp32 score einsum below). Scales are per (b, pos, kv-head) row.
+            # int8 KV cache (cfg.kv_quant): quantize the new rows on write.
+            # At the read the int8 buffers feed the score/value dots directly
+            # (int8 -> compute-dtype casts are exact for |x| <= 127) and the
+            # per-(b, pos, kv-head) scales fold into the einsums below — no
+            # dequantized fp copy of the cache is ever materialized, so the
+            # HBM/VMEM working set stays at the int8 footprint.
             kq, ks = _kv_quantize(k)
             vq, vs = _kv_quantize(v)
             cache_k = jax.lax.dynamic_update_slice(
@@ -337,8 +342,9 @@ class DecoderLayer(nn.Module):
                 # in-flight k/v stay exact (see KVCache note).
                 k_att, v_att = k, v
             else:
-                k_att = _kv_dequantize(cache_k, cache_k_scale)
-                v_att = _kv_dequantize(cache_v, cache_v_scale)
+                k_att, v_att = cache_k, cache_v
+                k_rowscale, v_rowscale = cache_k_scale, cache_v_scale
+                quant_read = True
         elif cache_k is not None:
             # Write the new keys/values at cache_pos, attend over the buffer.
             cache_k = jax.lax.dynamic_update_slice(
@@ -356,11 +362,15 @@ class DecoderLayer(nn.Module):
         else:
             k_att, v_att = k, v
 
-        # GQA: repeat kv heads to match query heads.
+        # GQA: repeat kv heads to match query heads (on the int8 buffer in
+        # the quantized path — 1 byte/element, 4x cheaper than fp32).
         if kv != h:
             rep = h // kv
             k_att = jnp.repeat(k_att, rep, axis=2)
             v_att = jnp.repeat(v_att, rep, axis=2)
+            if quant_read:
+                k_rowscale = jnp.repeat(k_rowscale, rep, axis=2)
+                v_rowscale = jnp.repeat(v_rowscale, rep, axis=2)
 
         if mask_bias is None:
             # causal path via the Pallas flash kernel
@@ -369,6 +379,23 @@ class DecoderLayer(nn.Module):
             ctx = flash_attention(q, k_att, v_att, causal=True,
                                   interpret=cfg.flash_interpret)
             ctx = ctx.astype(v_att.dtype).reshape(b, s, h * hd)
+        elif quant_read:
+            # Scale-folded int8 attention: score_k = (q . k_int8) * ks_k and
+            # ctx = (probs * vs)_k . v_int8 — mathematically identical to
+            # dequantize-then-dot (the scale is constant along the head_dim
+            # reduction), but the dots consume the int8 rows directly.
+            dt = jnp.float32 if cfg.dtype == jnp.float32 else jnp.bfloat16
+            ks_t = k_rowscale.transpose(0, 2, 1)[:, :, None, :]  # [B,H,1,K]
+            vs_t = v_rowscale.transpose(0, 2, 1)[:, :, None, :]
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q.astype(dt),
+                                k_att.astype(dt),
+                                preferred_element_type=jnp.float32)
+            scores = scores * ks_t / (hd ** 0.5) + mask_bias
+            probs = jax.nn.softmax(scores, axis=-1)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", (probs * vs_t).astype(dt),
+                             v_att.astype(dt),
+                             preferred_element_type=jnp.float32)
+            ctx = ctx.reshape(b, s, h * hd)
         else:
             scores = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
                                 k_att.astype(jnp.float32)) / (hd ** 0.5)

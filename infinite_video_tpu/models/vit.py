@@ -57,6 +57,11 @@ class ViTConfig:
     attn_impl: str = "xla"
     attn_interpret: bool = False      # test hook for the Pallas path
 
+    def __post_init__(self):
+        if self.attn_impl not in ("xla", "pallas"):
+            raise ValueError("ViTConfig.attn_impl must be 'xla' or 'pallas', "
+                             f"got {self.attn_impl!r}")
+
     @property
     def gelu_approximate(self) -> bool:
         if self.gelu == "auto":

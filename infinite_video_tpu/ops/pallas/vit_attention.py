@@ -38,27 +38,30 @@ __all__ = ["vit_attention"]
 _NEG_INF = -1e30
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float, seq_len: int,
-            block_bh: int):
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, block_bh: int):
     s_p = q_ref.shape[1]
     need_mask = s_p != seq_len
     if need_mask:
         col = jax.lax.broadcasted_iota(jnp.int32, (s_p, s_p), 1)
         mask = jnp.where(col < seq_len, 0.0, _NEG_INF).astype(jnp.float32)
     for i in range(block_bh):
-        q = q_ref[i]                                     # [s_p, d_p]
+        q = q_ref[i]            # [s_p, d_p]; sm_scale pre-folded into q
         k = k_ref[i]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * sm_scale   # [s_p, s_p]
+            preferred_element_type=jnp.float32)              # [s_p, s_p]
         if need_mask:
             s = s + mask
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o_ref[i] = jax.lax.dot_general(
+        # normalize AFTER the p·v dot: one reciprocal per row + an
+        # [s_p, d_p] multiply instead of an [s_p, s_p] per-element divide
+        # (VPU divides dominate the softmax tail at this geometry)
+        r = 1.0 / jnp.sum(p, axis=-1, keepdims=True)     # [s_p, 1]
+        o = jax.lax.dot_general(
             p.astype(v_ref.dtype), v_ref[i], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+            preferred_element_type=jnp.float32)
+        o_ref[i] = (o * r).astype(o_ref.dtype)
 
 
 def _pad_to(x, size, axis):
@@ -77,8 +80,11 @@ def vit_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
                   interpret: bool = False) -> jnp.ndarray:
     """Bidirectional whole-row attention. q/k/v: [B, S, H, D] -> [B, S, H, D].
 
-    For short S only (the [S_p, S_p] fp32 scores must fit VMEM per head —
-    fine up to S≈1500); use flash_attention for long sequences.
+    For short S only: each of the block_bh unrolled heads holds an fp32
+    [S_p, S_p] score matrix in VMEM, so the usable S limit scales with
+    1/block_bh (S≈1500 at block_bh=1-2, S≈700 at block_bh=8). block_bh is
+    auto-shrunk against a ~12 MB VMEM budget below; use flash_attention for
+    genuinely long sequences.
     """
     b, sq, h, d = q.shape
     if sm_scale is None:
@@ -94,12 +100,19 @@ def vit_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     # sublane multiple for bf16 rows is 16; lanes pad to 128
     s_p = -(-sq // 16) * 16
     d_p = max(-(-d // 128) * 128, 128)
-    qg = _pad_to(_pad_to(to_grid(q), s_p, 1), d_p, 2)
+
+    # Shrink block_bh until the working set (fp32 scores + q/k/v/o blocks per
+    # unrolled head) fits a conservative VMEM budget (~12 MB of the 16 MB).
+    elt = jnp.dtype(q.dtype).itemsize
+    per_head = s_p * s_p * 4 + 4 * s_p * d_p * elt
+    while block_bh > 1 and block_bh * per_head > 12 * 1024 * 1024:
+        block_bh //= 2
+
+    qg = _pad_to(_pad_to(to_grid(q * q.dtype.type(sm_scale)), s_p, 1), d_p, 2)
     kg = _pad_to(_pad_to(to_grid(k), s_p, 1), d_p, 2)
     vg = _pad_to(_pad_to(to_grid(v), s_p, 1), d_p, 2)
 
-    kernel = functools.partial(_kernel, sm_scale=sm_scale, seq_len=sq,
-                               block_bh=block_bh)
+    kernel = functools.partial(_kernel, seq_len=sq, block_bh=block_bh)
     spec = pl.BlockSpec((block_bh, s_p, d_p), lambda i: (i, 0, 0))
     out = pl.pallas_call(
         kernel,

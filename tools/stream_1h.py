@@ -1,0 +1,129 @@
+"""Hour-scale constant-HBM streaming through the FULL e2e vision encoder.
+
+North-star #2 (BASELINE.md): the reference's marquee use-case is hour-long
+videos (MovieChat-1K, run_inference_inf_video_llama_moviechat.py:226-254) at
+bounded memory — its LTM keeps a fixed-size continuous-memory state instead
+of a growing token cache. This repo's encoder holds that bound *by
+construction* (lax.scan over a fixed-size LTMState); this script converts the
+claim to a measurement: stream >= 450 eight-frame chunks (1 h @ 1 fps) of the
+real EVA-g + frame-Q-former + LTM video-Q-former path on the chip, sampling
+HBM (device.memory_stats) and throughput per segment.
+
+PASS = bytes_in_use flat across segments (drift < 1 MB after segment 0) and
+sustained f/s within noise of the 32-chunk bench number.
+
+Run from the repo root on a TPU runtime:
+    python tools/stream_1h.py [--chunks 456] [--segments 12]
+Also callable from bench.py (measure()) for the BENCH_r04 extras.
+"""
+
+import argparse
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CHUNK_LEN = 8
+NUM_BASIS = 256
+
+
+def measure(n_chunks: int = 456, segments: int = 12, verbose: bool = False):
+    """Stream n_chunks through the e2e encoder in `segments` equal scans with
+    the LTM state carried across segments (device-resident — one video).
+
+    Returns {"frames_per_sec", "hbm_flat", "hbm_drift_bytes",
+             "hbm_bytes_per_segment", "seg_frames_per_sec"}.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from infinite_video_tpu.models import infinite_videollama as ivl
+
+    cfg = ivl.default_config(chunk_len=CHUNK_LEN, num_basis=NUM_BASIS,
+                             alpha=0.5, sticky=True)
+    encoder = ivl.InfVideoLLaMAEncoder(cfg)
+    pixels0 = jnp.zeros((1, CHUNK_LEN, 224, 224, 3), jnp.bfloat16)
+    params = jax.jit(
+        lambda: encoder.init(jax.random.PRNGKey(0), pixels0,
+                             encoder.init_states(1),
+                             ltm_rng=jax.random.PRNGKey(1))["params"])()
+
+    per_seg = n_chunks // segments
+
+    # params traced (not closed over) — see bench._e2e_vision_fps
+    @partial(jax.jit, static_argnames="n")
+    def run_segment(params, states, key, n):
+        def step(carry, _):
+            states, key = carry
+            key, sub, kd = jax.random.split(key, 3)
+            pixels = jax.random.normal(
+                kd, (1, CHUNK_LEN, 224, 224, 3), jnp.bfloat16) * 0.5
+            emb, states = encoder.apply({"params": params}, pixels, states,
+                                        ltm_rng=sub)
+            return (states, key), emb.astype(jnp.float32).sum()
+
+        (states, key), sums = jax.lax.scan(step, (states, key), None,
+                                           length=n)
+        return states, key, sums.sum()
+
+    def hbm() -> int:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        return int(stats.get("bytes_in_use", -1))
+
+    states = encoder.init_states(1)
+    key = jax.random.PRNGKey(7)
+    # compile + one warm segment (not timed, not counted)
+    states_w, key_w, s = run_segment(params, states, key, per_seg)
+    float(s)
+
+    states, key = encoder.init_states(1), jax.random.PRNGKey(11)
+    seg_fps, hbm_trace = [], []
+    t_all0 = time.perf_counter()
+    for i in range(segments):
+        t0 = time.perf_counter()
+        states, key, s = run_segment(params, states, key, per_seg)
+        float(s)  # readback-synchronise
+        dt = time.perf_counter() - t0
+        seg_fps.append(per_seg * CHUNK_LEN / dt)
+        hbm_trace.append(hbm())
+        if verbose:
+            print(f"segment {i:2d}: {seg_fps[-1]:7.1f} f/s   "
+                  f"hbm={hbm_trace[-1]/1e9:.3f} GB", flush=True)
+    total_dt = time.perf_counter() - t_all0
+
+    known = [b for b in hbm_trace if b >= 0]
+    # segment 0 may include allocator warm-up; flatness is judged after it
+    drift = (max(known[1:]) - min(known[1:])) if len(known) > 2 else -1
+    return {
+        "frames_per_sec": n_chunks * CHUNK_LEN / total_dt,
+        "hbm_flat": bool(0 <= drift < 1 << 20),
+        "hbm_drift_bytes": drift,
+        "hbm_bytes_per_segment": hbm_trace,
+        "seg_frames_per_sec": [round(f, 1) for f in seg_fps],
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chunks", type=int, default=456,
+                    help="456 x 8 frames = 3648 frames ~= 1 h @ 1 fps")
+    ap.add_argument("--segments", type=int, default=12)
+    args = ap.parse_args()
+
+    import jax
+
+    print(f"devices: {jax.devices()}", flush=True)
+    print(f"streaming {args.chunks} chunks x {CHUNK_LEN} frames "
+          f"({args.chunks * CHUNK_LEN} frames) in {args.segments} segments",
+          flush=True)
+    r = measure(args.chunks, args.segments, verbose=True)
+    print(f"sustained: {r['frames_per_sec']:.1f} f/s  "
+          f"hbm_flat={r['hbm_flat']} (drift {r['hbm_drift_bytes']} B)",
+          flush=True)
+    return 0 if r["hbm_flat"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
