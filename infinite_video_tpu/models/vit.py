@@ -50,17 +50,20 @@ class ViTConfig:
     # delta (≲3e-3 abs) is below bf16 rounding, so bf16 serving uses tanh
     # and fp32 parity/golden paths keep erf.
     gelu: str = "auto"
-    # Attention implementation: "xla" (batched einsums — the default) or
-    # "pallas" (ops/pallas/vit_attention.py whole-row kernel). See the A/B
-    # in docs/KERNELS.md before flipping: at the EVA-g geometry XLA's
-    # einsum lowering is the measured winner in-context.
-    attn_impl: str = "xla"
+    # Attention implementation: "auto" (Pallas whole-row kernel on TPU, XLA
+    # einsums elsewhere), "xla", or "pallas" (ops/pallas/vit_attention.py).
+    # Measured on v5e (tools/ab_vit_attention.py, round-4 A/B in
+    # docs/KERNELS.md): the kernel wins the full EVA-g forward by 2-4% in
+    # every paired run (e.g. 17.7 vs 18.4 ms per 8-frame chunk) even though
+    # the ISOLATED attention op slightly favors XLA — in-model the kernel's
+    # single fused dispatch per layer wins on layout/overlap.
+    attn_impl: str = "auto"
     attn_interpret: bool = False      # test hook for the Pallas path
 
     def __post_init__(self):
-        if self.attn_impl not in ("xla", "pallas"):
-            raise ValueError("ViTConfig.attn_impl must be 'xla' or 'pallas', "
-                             f"got {self.attn_impl!r}")
+        if self.attn_impl not in ("auto", "xla", "pallas"):
+            raise ValueError("ViTConfig.attn_impl must be 'auto', 'xla' or "
+                             f"'pallas', got {self.attn_impl!r}")
 
     @property
     def gelu_approximate(self) -> bool:
@@ -161,7 +164,13 @@ class ViTAttention(nn.Module):
         b, s, _ = x.shape
         qkv = qkv.reshape(b, s, 3, cfg.num_heads, cfg.head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]      # [b, s, h, hd]
-        if cfg.attn_impl == "pallas":
+        impl = cfg.attn_impl
+        if impl == "auto":
+            from infinite_video_tpu.ops.pallas.vit_attention import fits_vmem
+
+            impl = ("pallas" if jax.default_backend() == "tpu"
+                    and fits_vmem(s, cfg.head_dim, x.dtype) else "xla")
+        if impl == "pallas":
             from infinite_video_tpu.ops.pallas.vit_attention import (
                 vit_attention)
             out = vit_attention(q, k, v, sm_scale=cfg.head_dim ** -0.5,

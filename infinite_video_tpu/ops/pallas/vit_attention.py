@@ -33,9 +33,21 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-__all__ = ["vit_attention"]
+__all__ = ["vit_attention", "fits_vmem"]
 
 _NEG_INF = -1e30
+
+
+def fits_vmem(seq_len: int, head_dim: int, dtype) -> bool:
+    """Can the whole-row kernel run this geometry at block_bh=1? (One fp32
+    [S_p, S_p] score matrix + q/k/v/o blocks within the ~12 MB budget the
+    wrapper enforces.) models/vit.py keys attn_impl="auto" on this: EVA-g
+    (S=257) and UMT 4/8-frame joint attention fit; 16-frame UMT (S=3136)
+    exceeds VMEM and routes to the XLA einsums."""
+    s_p = -(-seq_len // 16) * 16
+    d_p = max(-(-head_dim // 128) * 128, 128)
+    elt = jnp.dtype(dtype).itemsize
+    return s_p * s_p * 4 + 4 * s_p * d_p * elt <= 12 * 1024 * 1024
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, block_bh: int):

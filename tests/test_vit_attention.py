@@ -65,3 +65,29 @@ def test_vit_attention_module_wiring():
     out_p = ViTAttention(cfg_p).apply(params, x)
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_attn_impl_auto_and_vmem_predicate():
+    """'auto' = pallas on TPU iff the whole-row kernel fits VMEM, else XLA.
+    On the CPU test backend auto must resolve to the XLA path (no interpret
+    flag needed), and the predicate must reject the 16-frame UMT geometry
+    (S=3136) that cannot hold an fp32 [S,S] score block."""
+    from infinite_video_tpu.ops.pallas.vit_attention import fits_vmem
+
+    assert fits_vmem(257, 88, jnp.bfloat16)      # EVA-g
+    assert fits_vmem(784, 64, jnp.bfloat16)      # UMT 4-frame joint attn
+    assert not fits_vmem(3136, 64, jnp.bfloat16)  # UMT 16-frame
+
+    cfg = ViTConfig(img_size=28, patch_size=14, embed_dim=64, depth=1,
+                    num_heads=4, mlp_hidden=128, dtype=jnp.float32)
+    assert cfg.attn_impl == "auto"
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 5, 64), jnp.float32)
+    params = ViTAttention(cfg).init(jax.random.PRNGKey(5), x)
+    out = ViTAttention(cfg).apply(params, x)   # CPU: runs the XLA branch
+    assert np.isfinite(np.asarray(out)).all()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        ViTConfig(img_size=28, patch_size=14, embed_dim=64, depth=1,
+                  num_heads=4, mlp_hidden=128, attn_impl="pallass")

@@ -1,17 +1,15 @@
 """A/B the whole-row Pallas ViT attention vs XLA einsums on real hardware.
 
 Times (a) attention-only at the EVA-g geometry ([CHUNK, 257, 16, 88] bf16),
-(b) the full EVA-g ViT with ViTConfig.attn_impl flipped, both with
-dependency-chain scans (same methodology as tools/profile_vit.py). Results
-recorded in docs/KERNELS.md — models/vit.py keys its default on this A/B.
+(b) the full EVA-g ViT with ViTConfig.attn_impl flipped, both as two-length
+differenced dependency-chain scans (tools/chain_timing.py). Results recorded
+in docs/KERNELS.md — models/vit.py keys its "auto" default on this A/B.
 
 Run from the repo root on a TPU runtime: `python tools/ab_vit_attention.py`.
 """
 
-import math
 import os
 import sys
-import time
 from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -26,28 +24,10 @@ CHUNK = 8
 S, H, D = 257, 16, 88
 
 
-def _floor() -> float:
-    @partial(jax.jit, static_argnames="n")
-    def nil(seed, n):
-        return jnp.float32(seed) * 0
+def timed(name, stream, n, flops=None):
+    from chain_timing import two_len_time
 
-    float(nil(0, 2))
-    best = float("inf")
-    for t in range(5):
-        t0 = time.perf_counter()
-        float(nil(1 + t, 2))
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
-def timed(name, stream, n, floor, flops=None):
-    float(stream(999, n))
-    best = float("inf")
-    for t in range(3):
-        t0 = time.perf_counter()
-        float(stream(1000 + t, n))
-        best = min(best, time.perf_counter() - t0)
-    per = max(best - floor, 1e-9) / n
+    per = two_len_time(stream, n)
     line = f"{name:28s} {per*1e3:8.3f} ms/iter"
     if flops:
         line += f"  {flops/per/1e12:6.1f} TF/s issued"
@@ -105,20 +85,18 @@ def vit_stream(attn_impl: str):
 
 def main():
     print(f"devices: {jax.devices()}", flush=True)
-    floor = _floor()
-    print(f"dispatch floor: {floor*1e3:.1f} ms", flush=True)
-    # issued attention FLOPs per iter (padded lanes excluded; score+pv dots)
+    # useful attention FLOPs per iter (padded lanes excluded; score+pv dots)
     flops = CHUNK * H * 2 * (S * S * D) * 2
-    n = 256  # ~100 ms of chain compute — dominates a noisy dispatch floor
-    timed("attn xla einsums", attn_stream("xla"), n, floor, flops)
+    n = 256
+    timed("attn xla einsums", attn_stream("xla"), n, flops)
     for bh in (4, 8, 16, 32):
         timed(f"attn pallas block_bh={bh}", attn_stream("pallas", bh), n,
-              floor, flops)
-    n = 24
-    fx = timed("vit full attn=xla", vit_stream("xla"), n, floor)
-    fp = timed("vit full attn=pallas", vit_stream("pallas"), n, floor)
-    print(f"e2e: xla {CHUNK/fx:.1f} f/s vs pallas {CHUNK/fp:.1f} f/s",
-          flush=True)
+              flops)
+    n = 120
+    fx = timed("vit full attn=xla", vit_stream("xla"), n)
+    fp = timed("vit full attn=pallas", vit_stream("pallas"), n)
+    print(f"e2e: xla {CHUNK/fx:.1f} f/s vs pallas {CHUNK/fp:.1f} f/s "
+          f"({(fx/fp-1)*100:+.1f}%)", flush=True)
 
 
 if __name__ == "__main__":

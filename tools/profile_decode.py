@@ -43,25 +43,10 @@ from infinite_video_tpu.models.decoder import (Decoder, init_kv_cache,
                                                mistral7b_config)
 
 
-def _dispatch_floor() -> float:
-    @partial(jax.jit, static_argnames="n")
-    def nil(seed, n):
-        return jnp.float32(seed) * 0
+def timed(name, stream, n, gbytes=None):
+    from chain_timing import two_len_time
 
-    float(nil(0, 2))
-    t0 = time.perf_counter()
-    float(nil(1, 2))
-    return time.perf_counter() - t0
-
-
-def timed(name, stream, n, floor, gbytes=None):
-    float(stream(999, n))  # compile
-    best = float("inf")
-    for t in range(3):
-        t0 = time.perf_counter()
-        float(stream(1000 * n + t, n))
-        best = min(best, time.perf_counter() - t0)
-    per = max(best - floor, 1e-9) / n
+    per = two_len_time(stream, n)
     line = f"{name:22s} {per*1e3:8.3f} ms/step  {1.0/per:7.1f} tok/s"
     if gbytes:
         line += f"  {gbytes/per:6.1f} GB/s effective"
@@ -156,7 +141,9 @@ def decode_stream(cfg, *, prefill, n_steps, patches=()):
                                            jnp.arange(n))
             return outs.sum()
 
-        float(run(params, 0, n_steps))  # compile inside the patches
+        # compile BOTH two-length chain lengths inside the patches
+        float(run(params, 0, n_steps))
+        float(run(params, 1, max(1, n_steps // 5)))
     return lambda seed, n: run(params, seed, n)
 
 

@@ -1,10 +1,14 @@
 """Ablate the EVA-g vision step on real hardware: where does the MFU go?
 
-The e2e vision bench (bench.py _e2e_vision_fps) measures ~190 f/s on one
-v5e ≈ 50% MFU (EVA-g ≈ 520 GFLOP/frame, 197 TF/s bf16 peak). This script
-decomposes the gap with dependency-chain timing (see bench.py): each mode
-times one jitted scan over a variant of the ViT/e2e step with one component
-ablated, so (full - ablated) isolates that component's cost.
+Decomposes the ViT's cost with two-length differenced dependency-chain
+timing (tools/chain_timing.py): each mode times one jitted scan over a
+variant of the ViT step with one component ablated, so (full - ablated)
+isolates that component's cost. All rows use the XLA attention path
+(like-for-like ablations); the pallas-vs-xla attention delta is measured by
+tools/ab_vit_attention.py. NOTE: the round-3 version of this table used
+floor subtraction with a ~24-iter chain; the relay floor was later observed
+to swing 28-412 ms between sessions, so round-3 absolute ms/frame values
+were inflated — trust the round-4 re-run in docs/KERNELS.md.
 
 Run from the repo root on a TPU runtime: `python tools/profile_vit.py`.
 Results recorded in docs/KERNELS.md.
@@ -28,25 +32,10 @@ from infinite_video_tpu.models.vit import ViTConfig, VisionTransformer, eva_vit_
 CHUNK = 8  # frames per step (bench geometry)
 
 
-def _dispatch_floor(n: int = 2) -> float:
-    @partial(jax.jit, static_argnames="n")
-    def nil(seed, n):
-        return jnp.float32(seed) * 0
+def timed(name, stream, n, frames_per_step, flops_per_frame=None):
+    from chain_timing import two_len_time
 
-    float(nil(0, n))
-    t0 = time.perf_counter()
-    float(nil(1, n))
-    return time.perf_counter() - t0
-
-
-def timed(name, stream, n, frames_per_step, floor, flops_per_frame=None):
-    float(stream(999, n))  # compile
-    best = float("inf")
-    for t in range(3):
-        t0 = time.perf_counter()
-        float(stream(1000 * n + t, n))
-        best = min(best, time.perf_counter() - t0)
-    per_frame = max(best - floor, 1e-9) / n / frames_per_step
+    per_frame = two_len_time(stream, n) / frames_per_step
     line = f"{name:26s} {per_frame*1e3:8.3f} ms/frame  {1.0/per_frame:7.1f} f/s"
     if flops_per_frame:
         line += f"  {flops_per_frame/per_frame/1e12:6.1f} TF/s"
@@ -125,7 +114,13 @@ def vit_stream(attention_cls=None, gelu=None, identity_ln=False, n=24):
     context — a retrace outside it would silently run the unpatched model
     (this bit round 3's first profile run; every ablation measured the
     full model)."""
-    cfg = eva_vit_g_config(dtype=jnp.bfloat16)
+    import dataclasses
+
+    # ablate against the XLA attention path so (full - ablated) rows all
+    # compare like with like; the pallas-vs-xla delta is the A/B tool's job
+    # (tools/ab_vit_attention.py)
+    cfg = dataclasses.replace(eva_vit_g_config(dtype=jnp.bfloat16),
+                              attn_impl="xla")
     patches = []
     if attention_cls is not None:
         patches.append(mock.patch.object(vit_mod, "ViTAttention",
@@ -164,9 +159,10 @@ def vit_stream(attention_cls=None, gelu=None, identity_ln=False, n=24):
             return sums.sum()
 
         # trace/compile inside the patch context so ablations take effect —
-        # at the TIMING chain length (a different static n would retrace
-        # outside the context with the patches reverted)
+        # at BOTH two-length timing chain lengths (a different static n
+        # would retrace outside the context with the patches reverted)
         float(run(params, 0, n))
+        float(run(params, 1, max(1, n // 5)))
     return lambda seed, n_: run(params, seed, n_)
 
 
@@ -215,8 +211,6 @@ def matmul_roofline_stream():
 
 def main():
     print(f"devices: {jax.devices()}", flush=True)
-    floor = _dispatch_floor()
-    print(f"dispatch+readback floor: {floor*1e3:.1f} ms", flush=True)
 
     cfg = eva_vit_g_config()
     s, d, mh = 257, cfg.embed_dim, cfg.mlp_hidden
@@ -225,28 +219,25 @@ def main():
     print(f"EVA-g: {flops_frame/1e9:.0f} GFLOP/frame (S={s}, d={d}, "
           f"mlp={mh}, depth={cfg.depth})", flush=True)
 
-    n = 24
+    n = 120
     mm_flops = cfg.depth * 2 * (4 * s * d * d + 2 * s * d * mh)
-    timed("matmuls-only roofline", matmul_roofline_stream(), n, CHUNK, floor,
+    timed("matmuls-only roofline", matmul_roofline_stream(), n, CHUNK,
           mm_flops)
-    full = timed("vit full (bf16)", vit_stream(n=n), n, CHUNK, floor,
-                 flops_frame)
+    full = timed("vit full (bf16)", vit_stream(n=n), n, CHUNK, flops_frame)
     timed("vit no-attn-einsums",
-          vit_stream(attention_cls=_NoEinsumAttention, n=n), n, CHUNK, floor)
+          vit_stream(attention_cls=_NoEinsumAttention, n=n), n, CHUNK)
     timed("vit no-softmax",
-          vit_stream(attention_cls=_NoSoftmaxAttention, n=n), n, CHUNK, floor)
+          vit_stream(attention_cls=_NoSoftmaxAttention, n=n), n, CHUNK)
     timed("vit f32-softmax",
-          vit_stream(attention_cls=_F32SoftmaxAttention, n=n), n, CHUNK,
-          floor)
+          vit_stream(attention_cls=_F32SoftmaxAttention, n=n), n, CHUNK)
     timed("vit relu-for-gelu",
           vit_stream(gelu=lambda x, approximate=True: jax.nn.relu(x), n=n),
-          n, CHUNK, floor)
+          n, CHUNK)
     _orig_gelu = jax.nn.gelu
     timed("vit tanh-gelu",
           vit_stream(gelu=lambda x, approximate=False: _orig_gelu(
-              x, approximate=True), n=n), n, CHUNK, floor)
-    timed("vit identity-LN", vit_stream(identity_ln=True, n=n), n, CHUNK,
-          floor)
+              x, approximate=True), n=n), n, CHUNK)
+    timed("vit identity-LN", vit_stream(identity_ln=True, n=n), n, CHUNK)
 
 
 if __name__ == "__main__":

@@ -124,6 +124,110 @@ def run_fast_math_downstream(name: str = "ltm_sticky_n64_l16.npz") -> bool:
     return bool(agree)
 
 
+def run_quant_downstream() -> bool:
+    """Do the serving quantization lanes change the picked option?
+
+    Same bar as run_fast_math_downstream, applied to the decoder's two
+    accuracy-relevant serving lanes: (a) int4 grouped weight-only quantization
+    (models/quantized.py, DecoderConfig.quant_bits=4) vs the bf16 weights it
+    was quantized from, and (b) the int8 KV cache (DecoderConfig.kv_quant)
+    vs the fp cache with identical weights. For a batch of prompts the model
+    answers a 4-way multiple-choice question the way the eval drivers do
+    ("Best option:(" -> one next token, eval/engine.py): the first generated
+    position's logits restrict to 4 fixed option ids and the lane's pick is
+    compared with the bf16 pick, margin-aware. Random weights make raw
+    top-1 agreement a coin flip (the top-2 gap of near-iid logits is
+    knife-edge by construction, unlike a trained model's decisive margins),
+    so the bar is: PASS unless a flip happens on a DECISIVE margin — one
+    larger than twice the lane's own measured option-logit drift. A flip
+    within the drift band is the expected near-tie behaviour and is reported,
+    not failed. Greedy continuations over 24 further steps are reported
+    informationally (divergence compounds chaotically off near-ties).
+    Mid-size geometry (d=512, 6 layers, GQA 8/4) — the in-environment
+    stand-in for released checkpoints."""
+    import dataclasses
+
+    from infinite_video_tpu.models.decoder import (Decoder, init_kv_cache,
+                                                   tiny_decoder_config)
+    from infinite_video_tpu.models.quantized import quantize_decoder_params
+
+    # intermediate 1536: every projection's input dim packs to a multiple of
+    # the int4 group (in/2 % 128 == 0), so the TPU run exercises the real
+    # Pallas unpack kernel on every matmul
+    cfg = tiny_decoder_config(vocab_size=2048, hidden_size=512, num_layers=6,
+                              num_heads=8, num_kv_heads=4,
+                              intermediate_size=1536, dtype=jnp.bfloat16)
+    model = Decoder(cfg)
+    n_prompts, plen, steps = 8, 48, 24
+    rng = np.random.default_rng(3)
+    prompts = jnp.asarray(rng.integers(0, cfg.vocab_size, (n_prompts, plen)),
+                          jnp.int32)
+    option_ids = jnp.asarray([17, 403, 911, 1500])
+    params = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), input_ids=prompts[:1])["params"])()
+    lanes_cfg = (
+        ("bf16", cfg),
+        ("int4 weights", dataclasses.replace(cfg, quantized=True,
+                                             quant_bits=4)),
+        ("int8 KV cache", dataclasses.replace(cfg, kv_quant=True)),
+    )
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames="which")
+    def run_lane_jit(lane_params, which):
+        lane_cfg = dict(lanes_cfg)[which]
+        m = Decoder(lane_cfg)
+        max_len = plen + steps + 1
+        mask = jnp.zeros((n_prompts, max_len)).at[:, :plen].set(1.0)
+        cache = init_kv_cache(lane_cfg, n_prompts, max_len)
+        logits, cache = m.apply({"params": lane_params}, input_ids=prompts,
+                                attention_mask=mask, cache=cache)
+        opt_logits = logits[:, -1, :][:, option_ids].astype(jnp.float32)
+        tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+
+        def step(carry, t):
+            tok, cache, mask = carry
+            mask = mask.at[:, plen + t].set(1.0)
+            logits, cache = m.apply({"params": lane_params},
+                                    input_ids=tok[:, None],
+                                    attention_mask=mask, cache=cache)
+            tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            return (tok, cache, mask), tok
+
+        (_, _, _), more = jax.lax.scan(step, (tok, cache, mask),
+                                       jnp.arange(steps))
+        return opt_logits, jnp.concatenate([tok[None], more], 0).T
+
+    def run_lane(which, lane_params):
+        ol, toks = run_lane_jit(lane_params, which)
+        return np.asarray(ol), np.asarray(toks)
+
+    ol_ref, toks_ref = run_lane("bf16", params)
+    pick_ref = ol_ref.argmax(-1)
+    sorted_ref = np.sort(ol_ref, axis=-1)
+    margin_ref = sorted_ref[:, -1] - sorted_ref[:, -2]   # top1 - top2 gap
+    ok_all = True
+    for name, lparams in (("int4 weights",
+                           quantize_decoder_params(params, bits=4)),
+                          ("int8 KV cache", params)):
+        ol, toks = run_lane(name, lparams)
+        pick = ol.argmax(-1)
+        drift = float(np.abs(ol - ol_ref).max())
+        flips = pick != pick_ref
+        decisive_flip = bool((flips & (margin_ref > 2.0 * drift)).any())
+        tok_agree = float((toks == toks_ref).mean())
+        ok = not decisive_flip
+        ok_all &= ok
+        print(f"{name + ' downstream':28s} backend={jax.default_backend():5s} "
+              f"{'OK  ' if ok else 'FAIL'} option_top1 "
+              f"{int((~flips).sum())}/{len(pick_ref)} "
+              f"drift={drift:.3f} "
+              f"flip_margins={np.round(margin_ref[flips], 3).tolist()} "
+              f"greedy_tok_agree={tok_agree:.3f}")
+    return bool(ok_all)
+
+
 def _pipeline_cfgs(kind):
     """Tiny composite-pipeline geometry — mirrors tests/test_pipeline_golden.py
     (which can't be imported here: tests/conftest.py pins JAX to CPU)."""
@@ -277,6 +381,11 @@ def main():
         results.append(run_fast_math_downstream())
     except Exception as e:
         print(f"fast_math downstream        ERROR {type(e).__name__}: {e}")
+        results.append(False)
+    try:
+        results.append(run_quant_downstream())
+    except Exception as e:
+        print(f"quant downstream            ERROR {type(e).__name__}: {e}")
         results.append(False)
     print("TPU PARITY:", "PASS" if all(results) and results else "FAIL")
     return 0 if all(results) and results else 1
