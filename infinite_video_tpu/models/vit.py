@@ -163,7 +163,6 @@ class ViTAttention(nn.Module):
 
         b, s, _ = x.shape
         qkv = qkv.reshape(b, s, 3, cfg.num_heads, cfg.head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]      # [b, s, h, hd]
         impl = cfg.attn_impl
         if impl == "auto":
             from infinite_video_tpu.ops.pallas.vit_attention import fits_vmem
@@ -171,12 +170,15 @@ class ViTAttention(nn.Module):
             impl = ("pallas" if jax.default_backend() == "tpu"
                     and fits_vmem(s, cfg.head_dim, x.dtype) else "xla")
         if impl == "pallas":
+            # fused entry: consumes [b, s, 3, h, hd] directly — one layout
+            # op to the kernel instead of the slice/transpose/pad boundary
+            # (A/B in docs/KERNELS.md §4)
             from infinite_video_tpu.ops.pallas.vit_attention import (
-                vit_attention)
-            out = vit_attention(q, k, v, sm_scale=cfg.head_dim ** -0.5,
-                                interpret=cfg.attn_interpret)
-            out = out.reshape(b, s, d)
+                vit_attention_qkv)
+            out = vit_attention_qkv(qkv, sm_scale=cfg.head_dim ** -0.5,
+                                    interpret=cfg.attn_interpret)
             return nn.Dense(d, dtype=cfg.dtype, name="proj")(out)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]      # [b, s, h, hd]
         q = q * (cfg.head_dim ** -0.5)
         # fp32 scores/softmax: measured free on v5e (tools/profile_vit.py —
         # the ViT is matmul-bound; the softmax ablation moves nothing)

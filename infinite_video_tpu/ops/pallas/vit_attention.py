@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-__all__ = ["vit_attention", "fits_vmem"]
+__all__ = ["vit_attention", "vit_attention_qkv", "fits_vmem"]
 
 _NEG_INF = -1e30
 
@@ -136,3 +136,75 @@ def vit_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     )(qg, kg, vg)
 
     return out[:, :sq, :d].reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+
+
+def _kernel_fused(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float,
+                  block_bh: int):
+    """Same (dot, softmax, dot) chain as _kernel but on UNPADDED [S, D]
+    blocks — Mosaic pads lanes (D=88→128) and sublanes (S=257→tiles)
+    in-register, so no masking and no HBM-side pad copies are needed.
+    Refs: [1, block_bh, S, D]; scale folded into q like the XLA path."""
+    for i in range(block_bh):
+        q = q_ref[0, i] * q_ref.dtype.type(sm_scale)     # [s, d]
+        s = jax.lax.dot_general(
+            q, k_ref[0, i], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [s, s]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        r = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, i], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[i] = (o * r).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "block_bh",
+                                             "interpret"))
+def vit_attention_qkv(qkv: jnp.ndarray, *, sm_scale: float | None = None,
+                      block_bh: int = 8,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Whole-row attention on the FUSED projection: [B, S, 3, H, D] (bias
+    already added) -> [B, S, H*D], ready for the output Dense.
+
+    This is the in-model entry (models/vit.py): the unfused `vit_attention`
+    wrapper costs three XLA slice+transpose copies plus six HBM pad copies
+    per layer on the way in and an unpad slice on the way out — measured as
+    the dominant share of the in-model attention cost (docs/KERNELS.md EVA-g
+    breakdown). Here ONE transpose ([B,S,3,H,D] -> [3, BH, S, D]) feeds the
+    kernel, which reads the same buffer through three BlockSpecs (one per
+    q/k/v role) and lets Mosaic do all tile padding in VMEM.
+    """
+    b, s, three, h, d = qkv.shape
+    assert three == 3, qkv.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+
+    bh = b * h
+    while bh % block_bh:
+        block_bh //= 2
+    # VMEM budget: fp32 [s_p, s_p] scores + q/k/v/o blocks per unrolled head
+    # (Mosaic-internal tile padding counted at the padded sizes)
+    s_p = -(-s // 16) * 16
+    d_p = max(-(-d // 128) * 128, 128)
+    elt = jnp.dtype(qkv.dtype).itemsize
+    per_head = s_p * s_p * 4 + 4 * s_p * d_p * elt
+    while block_bh > 1 and block_bh * per_head > 12 * 1024 * 1024:
+        block_bh //= 2
+
+    g = qkv.transpose(2, 0, 3, 1, 4).reshape(3, bh, s, d)
+
+    def spec(role):
+        return pl.BlockSpec((1, block_bh, s, d),
+                            lambda i, role=role: (role, i, 0, 0))
+
+    kernel = functools.partial(_kernel_fused, sm_scale=sm_scale,
+                               block_bh=block_bh)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bh // block_bh,),
+        in_specs=[spec(0), spec(1), spec(2)],
+        out_specs=pl.BlockSpec((block_bh, s, d), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, s, d), qkv.dtype),
+        interpret=interpret,
+    )(g, g, g)
+    return out.reshape(b, h, s, d).transpose(0, 2, 1, 3).reshape(b, s, h * d)

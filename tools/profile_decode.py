@@ -216,8 +216,6 @@ def main():
     args = ap.parse_args()
 
     print(f"devices: {jax.devices()}", flush=True)
-    floor = _dispatch_floor()
-    print(f"dispatch floor: {floor*1e3:.1f} ms", flush=True)
 
     prefill = max(args.context - 129, 8)
     n = 128
@@ -229,17 +227,17 @@ def main():
     print(f"int{args.bits} 7B, prefill={prefill}, {n} decode steps, "
           f"{gb:.2f} GB weights/step", flush=True)
 
-    timed("weights-only roofline", weights_only_stream(cfg), n, floor, gb)
+    timed("weights-only roofline", weights_only_stream(cfg), n, gb)
     full = timed("full decode step",
-                 decode_stream(cfg, prefill=prefill, n_steps=n), n, floor, gb)
+                 decode_stream(cfg, prefill=prefill, n_steps=n), n, gb)
     timed("no-kv-attention",
           decode_stream(cfg, prefill=prefill, n_steps=n, patches=(
               mock.patch.object(dec_mod, "DecoderLayer", _NoAttnLayer),)),
-          n, floor)
+          n)
     timed("no-norms",
           decode_stream(cfg, prefill=prefill, n_steps=n, patches=(
               mock.patch.object(dec_mod, "RMSNorm", _IdNorm),)),
-          n, floor)
+          n)
     print(f"(full = {full*1e3:.2f} ms; component cost = full - ablated)",
           flush=True)
 
