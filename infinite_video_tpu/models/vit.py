@@ -61,9 +61,10 @@ class ViTConfig:
     attn_interpret: bool = False      # test hook for the Pallas path
 
     def __post_init__(self):
-        if self.attn_impl not in ("auto", "xla", "pallas"):
-            raise ValueError("ViTConfig.attn_impl must be 'auto', 'xla' or "
-                             f"'pallas', got {self.attn_impl!r}")
+        if self.attn_impl not in ("auto", "xla", "pallas", "pallas_direct"):
+            raise ValueError("ViTConfig.attn_impl must be 'auto', 'xla', "
+                             "'pallas' or 'pallas_direct', got "
+                             f"{self.attn_impl!r}")
 
     @property
     def gelu_approximate(self) -> bool:
@@ -169,14 +170,17 @@ class ViTAttention(nn.Module):
 
             impl = ("pallas" if jax.default_backend() == "tpu"
                     and fits_vmem(s, cfg.head_dim, x.dtype) else "xla")
-        if impl == "pallas":
-            # fused entry: consumes [b, s, 3, h, hd] directly — one layout
-            # op to the kernel instead of the slice/transpose/pad boundary
+        if impl in ("pallas", "pallas_direct"):
+            # fused entries: consume [b, s, 3, h, hd] directly — "pallas"
+            # pays one layout op into the kernel; "pallas_direct" indexes
+            # the projection tensor in place, zero boundary layout ops
             # (A/B in docs/KERNELS.md §4)
-            from infinite_video_tpu.ops.pallas.vit_attention import (
-                vit_attention_qkv)
-            out = vit_attention_qkv(qkv, sm_scale=cfg.head_dim ** -0.5,
-                                    interpret=cfg.attn_interpret)
+            from infinite_video_tpu.ops.pallas import vit_attention as vk
+
+            fn = (vk.vit_attention_qkv_direct if impl == "pallas_direct"
+                  else vk.vit_attention_qkv)
+            out = fn(qkv, sm_scale=cfg.head_dim ** -0.5,
+                     interpret=cfg.attn_interpret)
             return nn.Dense(d, dtype=cfg.dtype, name="proj")(out)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]      # [b, s, h, hd]
         q = q * (cfg.head_dim ** -0.5)

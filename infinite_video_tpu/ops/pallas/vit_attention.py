@@ -33,7 +33,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-__all__ = ["vit_attention", "vit_attention_qkv", "fits_vmem"]
+__all__ = ["vit_attention", "vit_attention_qkv", "vit_attention_qkv_direct",
+           "fits_vmem"]
 
 _NEG_INF = -1e30
 
@@ -208,3 +209,75 @@ def vit_attention_qkv(qkv: jnp.ndarray, *, sm_scale: float | None = None,
         interpret=interpret,
     )(g, g, g)
     return out.reshape(b, h, s, d).transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+def _kernel_direct(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float,
+                   block_h: int):
+    """(dot, softmax, dot) chain on blocks cut straight out of the 5-D
+    projection tensor: refs are [1, S, 1, block_h, D] (q/k/v) and
+    [1, block_h, S, D] (out — head-major so the store is a prefix index;
+    Mosaic rejects mid-dimension vector stores)."""
+    for i in range(block_h):
+        q = q_ref[0, :, 0, i] * q_ref.dtype.type(sm_scale)   # [s, d]
+        s = jax.lax.dot_general(
+            q, k_ref[0, :, 0, i], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [s, s]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        r = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, :, 0, i], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[0, i] = (o * r).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "block_h",
+                                             "interpret"))
+def vit_attention_qkv_direct(qkv: jnp.ndarray, *,
+                             sm_scale: float | None = None,
+                             block_h: int = 8,
+                             interpret: bool = False) -> jnp.ndarray:
+    """Whole-row attention reading [B, S, 3, H, D] IN PLACE: zero XLA layout
+    ops on either side.
+
+    `vit_attention_qkv` still pays one XLA transpose in ([B,S,3,H,D] ->
+    [3,BH,S,D]) and one out — ~2x the attention tensor's HBM traffic plus
+    per-layer dispatch. Here the BlockSpecs index the projection tensor
+    directly (block [1, S, 1, block_h, D]; per-s rows of block_h*D
+    contiguous elements — large enough DMA runs at EVA-g geometry) and the
+    grid runs (B, H/block_h). The strided HBM reads ride the Pallas
+    pipeline's double buffering, so they overlap the per-head compute
+    instead of serializing like the XLA transpose did. The output lands
+    head-major ([B, H, S, D] — Mosaic only lowers prefix-index stores) and
+    pays one XLA transpose back to [B, S, H*D]; net: two boundary layout
+    ops replaced by one."""
+    b, s, three, h, d = qkv.shape
+    assert three == 3, qkv.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+
+    while h % block_h:
+        block_h //= 2
+    s_p = -(-s // 16) * 16
+    d_p = max(-(-d // 128) * 128, 128)
+    elt = jnp.dtype(qkv.dtype).itemsize
+    per_head = s_p * s_p * 4 + 4 * s_p * d_p * elt
+    while block_h > 1 and block_h * per_head > 12 * 1024 * 1024:
+        block_h //= 2
+
+    def spec(role):
+        return pl.BlockSpec((1, s, 1, block_h, d),
+                            lambda bi, hb, role=role: (bi, 0, role, hb, 0))
+
+    kernel = functools.partial(_kernel_direct, sm_scale=sm_scale,
+                               block_h=block_h)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, h // block_h),
+        in_specs=[spec(0), spec(1), spec(2)],
+        out_specs=pl.BlockSpec((1, block_h, s, d),
+                               lambda bi, hb: (bi, hb, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, s, d), qkv.dtype),
+        interpret=interpret,
+    )(qkv, qkv, qkv)
+    return out.transpose(0, 2, 1, 3).reshape(b, s, h * d)

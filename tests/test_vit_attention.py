@@ -72,6 +72,26 @@ def test_vit_attention_qkv_fused_matches_xla(shape):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("shape", [
+    (2, 257, 4, 88),    # EVA-g geometry (ragged S and head_dim)
+    (1, 128, 3, 64),    # aligned S, odd head count (forces block_h fallback)
+    (2, 50, 2, 32),     # tiny ragged everything
+])
+def test_vit_attention_qkv_direct_matches_xla(shape):
+    """The zero-transpose entry (BlockSpecs index [B,S,3,H,D] in place)."""
+    from infinite_video_tpu.ops.pallas.vit_attention import (
+        vit_attention_qkv_direct)
+
+    b, s, h, d = shape
+    qkv = jax.random.normal(jax.random.PRNGKey(6), (b, s, 3, h, d),
+                            jnp.float32)
+    out = vit_attention_qkv_direct(qkv, interpret=True)
+    ref = _ref_attention(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2])
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(ref.reshape(b, s, h * d)),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_vit_attention_module_wiring():
     """ViTConfig.attn_impl='pallas' produces the same block output as 'xla'."""
     base = dict(img_size=28, patch_size=14, embed_dim=64, depth=1,

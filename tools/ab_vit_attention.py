@@ -95,8 +95,10 @@ def main():
     n = 120
     fx = timed("vit full attn=xla", vit_stream("xla"), n)
     fp = timed("vit full attn=pallas", vit_stream("pallas"), n)
-    print(f"e2e: xla {CHUNK/fx:.1f} f/s vs pallas {CHUNK/fp:.1f} f/s "
-          f"({(fx/fp-1)*100:+.1f}%)", flush=True)
+    fd = timed("vit full attn=pallas_direct", vit_stream("pallas_direct"), n)
+    print(f"e2e: xla {CHUNK/fx:.1f} f/s vs pallas {CHUNK/fp:.1f} "
+          f"({(fx/fp-1)*100:+.1f}%) vs direct {CHUNK/fd:.1f} f/s "
+          f"({(fx/fd-1)*100:+.1f}%)", flush=True)
 
 
 if __name__ == "__main__":
