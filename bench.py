@@ -393,13 +393,13 @@ def _long_ctx_decode_tok_s(batch: int = 1, ctx: int = 8192,
         lambda: model.init(jax.random.PRNGKey(0),
                            input_ids=jnp.zeros((1, 1), jnp.int32))["params"])()
 
-    @partial(jax.jit, static_argnames="n")
-    def run(params, seed, n):
+    @jax.jit
+    def build_cache(seed):
         key = jax.random.PRNGKey(seed)
         kk, kv_, ks1, ks2 = jax.random.split(key, 4)
         shape = (cfg.num_layers, batch, ctx, kv, hd)
         if kv_quant:
-            cache = KVCache(
+            return KVCache(
                 k=jax.random.randint(kk, shape, -127, 128, jnp.int8),
                 v=jax.random.randint(kv_, shape, -127, 128, jnp.int8),
                 pos=jnp.asarray(fill, jnp.int32),
@@ -407,10 +407,21 @@ def _long_ctx_decode_tok_s(batch: int = 1, ctx: int = 8192,
                                            0.005, 0.02),
                 v_scale=jax.random.uniform(ks2, shape[:-1], jnp.float32,
                                            0.005, 0.02))
-        else:
-            cache = KVCache(k=jax.random.normal(kk, shape, cfg.dtype),
-                            v=jax.random.normal(kv_, shape, cfg.dtype),
-                            pos=jnp.asarray(fill, jnp.int32))
+        return KVCache(k=jax.random.normal(kk, shape, cfg.dtype),
+                       v=jax.random.normal(kv_, shape, cfg.dtype),
+                       pos=jnp.asarray(fill, jnp.int32))
+
+    # The cache is built in its OWN jit call and donated into the timed step:
+    # fusing build+scan into one executable made XLA materialize per-layer
+    # HLO-temp copies of the full cache around the in-loop dynamic-update-
+    # slices (~64 MB x 4 x 32 layers), blowing HBM at batch 8 (16.4 G used of
+    # 15.75 G, compile-time OOM). Donation lets the scan update the cache in
+    # place — but ONLY if the final cache is also an output (XLA aliases
+    # donated inputs to outputs; a scalar-only return makes the donation
+    # unusable and the loop copies the whole cache). The per-call build cost
+    # is length-independent so it cancels in the two-length differencing.
+    @partial(jax.jit, static_argnames="n", donate_argnums=(1,))
+    def run(params, cache, seed, n):
         mask = jnp.zeros((batch, ctx)).at[:, :fill].set(1.0)
         tok = jnp.full((batch,), 7, jnp.int32)
 
@@ -423,12 +434,16 @@ def _long_ctx_decode_tok_s(batch: int = 1, ctx: int = 8192,
             tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
             return (tok, cache, mask), logits[:, -1, 0]
 
-        (_, _, _), outs = jax.lax.scan(step, (tok, cache, mask),
-                                       jnp.arange(n))
-        return outs.sum()
+        (_, cache, _), outs = jax.lax.scan(step, (tok, cache, mask),
+                                           jnp.arange(n))
+        return outs.sum(), cache
 
-    return _chain_fps(lambda s, n: run(params, s, n), batch, n_steps,
-                      trials=2)
+    def stream(s, n):
+        cache = jax.block_until_ready(build_cache(s))
+        out, _ = run(params, cache, s, n)
+        return out
+
+    return _chain_fps(stream, batch, n_steps, trials=2)
 
 
 def _spec_decode_tok_s(prefill: int = 128, n_base: int = 16,
@@ -563,18 +578,20 @@ def main():
             # measures the KV-read speed delta; b8 bf16-KV needs 8.6 GB of
             # cache + 7.2 GB weights (capacity) — if it OOMs, that IS the
             # int8-KV story, recorded as such.
-            extra["decode_tok_s_8k_b1_kv_bf16"] = round(
-                _long_ctx_decode_tok_s(batch=1, kv_quant=False), 2)
-            extra["decode_tok_s_8k_b1_kv_int8"] = round(
-                _long_ctx_decode_tok_s(batch=1, kv_quant=True), 2)
-            extra["decode_tok_s_8k_b8_kv_int8"] = round(
-                _long_ctx_decode_tok_s(batch=8, kv_quant=True), 2)
-            try:
-                extra["decode_tok_s_8k_b8_kv_bf16"] = round(
-                    _long_ctx_decode_tok_s(batch=8, kv_quant=False), 2)
-            except Exception as e:
-                extra["decode_tok_s_8k_b8_kv_bf16"] = (
-                    f"OOM/{type(e).__name__}"[:60])
+            for key_, kwargs in [
+                ("decode_tok_s_8k_b1_kv_bf16", dict(batch=1, kv_quant=False)),
+                ("decode_tok_s_8k_b1_kv_int8", dict(batch=1, kv_quant=True)),
+                ("decode_tok_s_8k_b8_kv_int8", dict(batch=8, kv_quant=True)),
+                ("decode_tok_s_8k_b8_kv_bf16", dict(batch=8, kv_quant=False)),
+            ]:
+                # each geometry individually guarded: at batch 8 the bf16
+                # cache is 8.6 GB + 7.2 GB weights — if it OOMs, that IS the
+                # int8-KV capacity story, recorded as such per entry
+                try:
+                    extra[key_] = round(
+                        _long_ctx_decode_tok_s(**kwargs), 2)
+                except Exception as e:
+                    extra[key_] = f"OOM/{type(e).__name__}"[:60]
         except Exception as e:
             extra["kv_quant_bench_error"] = f"{type(e).__name__}: {e}"[:200]
         try:
