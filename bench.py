@@ -217,6 +217,53 @@ def _e2e_vision_fps(chunk_len: int = 8, n_chain: int = 32,
     return _chain_fps(stream, chunk_len * batch, n_chain, trials=2)
 
 
+def _e2e_videochat2_fps(chunk_len: int = 16, n_chain: int = 16) -> float:
+    """Full ∞-VideoChat2 vision path at the README.md:60 NExT-QA recipe
+    geometry: UMT ViT-L 16-frame joint space-time attention (S=3136 — the
+    fits_vmem-failing geometry served by the flash route of ViTAttention) +
+    12-layer LTM Q-former (num_basis=64, cross_attention_freq=2, text
+    instruction input) + mistral_proj, bf16 ViT / fp32 Q-former. One jitted
+    scan with the LTM state as carry; pixels drawn on-device. This is the
+    second flagship's e2e number (round-4 VERDICT missing #3)."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from infinite_video_tpu.models import videochat2 as vc2
+
+    cfg = vc2.default_config(chunk_len=chunk_len, num_frames=chunk_len,
+                             num_basis=64, alpha=1.0, sticky=STICKY)
+    encoder = vc2.VideoChat2Encoder(cfg)
+    pixels0 = jnp.zeros((1, chunk_len, 224, 224, 3), jnp.bfloat16)
+    instr = jnp.ones((1, 24), jnp.int32)       # fixed-length instruction
+    imask = jnp.ones((1, 24), jnp.float32)
+    params = jax.jit(
+        lambda: encoder.init(jax.random.PRNGKey(0), pixels0,
+                             encoder.init_states(1),
+                             instruction_ids=instr, instruction_mask=imask,
+                             ltm_rng=jax.random.PRNGKey(1))["params"])()
+
+    @partial(jax.jit, static_argnames="n")
+    def run(params, seed, n):
+        def step(carry, _):
+            states, key = carry
+            key, sub, kd = jax.random.split(key, 3)
+            pixels = jax.random.normal(
+                kd, (1, chunk_len, 224, 224, 3), jnp.bfloat16) * 0.5
+            emb, states = encoder.apply({"params": params}, pixels, states,
+                                        instruction_ids=instr,
+                                        instruction_mask=imask, ltm_rng=sub)
+            return (states, key), emb.astype(jnp.float32).sum()
+
+        init = (encoder.init_states(1), jax.random.PRNGKey(seed))
+        (_, _), sums = jax.lax.scan(step, init, None, length=n)
+        return sums.sum()
+
+    return _chain_fps(lambda s, n: run(params, s, n), chunk_len, n_chain,
+                      trials=2)
+
+
 def _e2e_two_phase_fps(chunk_len: int = 8, num_chunks: int = 8,
                        n_chain: int = 4) -> float:
     """The engines' actual encode path (eval/engine.py): all chunks' frames
@@ -421,7 +468,7 @@ def _long_ctx_decode_tok_s(batch: int = 1, ctx: int = 8192,
     # unusable and the loop copies the whole cache). The per-call build cost
     # is length-independent so it cancels in the two-length differencing.
     @partial(jax.jit, static_argnames="n", donate_argnums=(1,))
-    def run(params, cache, seed, n):
+    def run(params, cache, n):
         mask = jnp.zeros((batch, ctx)).at[:, :fill].set(1.0)
         tok = jnp.full((batch,), 7, jnp.int32)
 
@@ -439,8 +486,10 @@ def _long_ctx_decode_tok_s(batch: int = 1, ctx: int = 8192,
         return outs.sum(), cache
 
     def stream(s, n):
+        # seed-freshness lives in build_cache: every timed dispatch of `run`
+        # sees a never-before-seen cache, so the relay cannot replay
         cache = jax.block_until_ready(build_cache(s))
-        out, _ = run(params, cache, s, n)
+        out, _ = run(params, cache, n)
         return out
 
     return _chain_fps(stream, batch, n_steps, trials=2)
@@ -553,6 +602,13 @@ def main():
         except Exception as e:  # never lose the primary metric to an extra
             extra["e2e_vision_error"] = f"{type(e).__name__}: {e}"[:200]
         try:
+            # second flagship: ∞-VideoChat2 (UMT-L 16-frame S=3136 joint
+            # space-time attention + 12-layer LTM Q-former)
+            extra["e2e_videochat2_frames_per_sec"] = round(
+                _e2e_videochat2_fps(), 2)
+        except Exception as e:
+            extra["e2e_videochat2_error"] = f"{type(e).__name__}: {e}"[:200]
+        try:
             extra["flash_attention_ms_s2048"] = round(_attention_ms(True), 4)
             extra["xla_attention_ms_s2048"] = round(
                 _attention_ms(False, n_chain=256), 4)
@@ -586,12 +642,20 @@ def main():
             ]:
                 # each geometry individually guarded: at batch 8 the bf16
                 # cache is 8.6 GB + 7.2 GB weights — if it OOMs, that IS the
-                # int8-KV capacity story, recorded as such per entry
+                # int8-KV capacity story, recorded as such per entry. Only a
+                # genuine RESOURCE_EXHAUSTED earns the OOM label; any other
+                # exception is a code bug and keeps its message (a shape
+                # error must not masquerade as a capacity result).
                 try:
                     extra[key_] = round(
                         _long_ctx_decode_tok_s(**kwargs), 2)
                 except Exception as e:
-                    extra[key_] = f"OOM/{type(e).__name__}"[:60]
+                    msg = f"{type(e).__name__}: {e}"
+                    if ("RESOURCE_EXHAUSTED" in str(e)
+                            or "out of memory" in str(e).lower()):
+                        extra[key_] = f"OOM/{type(e).__name__}"[:60]
+                    else:
+                        extra[key_] = msg[:200]
         except Exception as e:
             extra["kv_quant_bench_error"] = f"{type(e).__name__}: {e}"[:200]
         try:
@@ -605,8 +669,12 @@ def main():
             r = _stream_1h(n_chunks=456, segments=12)
             extra["e2e_vision_1h_frames_per_sec"] = round(
                 r["frames_per_sec"], 2)
-            extra["e2e_hbm_flat"] = r["hbm_flat"]
+            # tri-state: "flat" / "not_flat" / "unavailable" — telemetry
+            # absence must never read as a flatness failure (round-4 bug)
+            extra["e2e_hbm_verdict"] = r["hbm_verdict"]
+            extra["e2e_hbm_source"] = r["hbm_source"]
             extra["e2e_hbm_drift_bytes"] = r["hbm_drift_bytes"]
+            extra["e2e_hbm_bytes_per_segment"] = r["hbm_bytes_per_segment"]
         except Exception as e:
             extra["stream_1h_error"] = f"{type(e).__name__}: {e}"[:200]
         try:
@@ -642,6 +710,21 @@ def main():
                 extra[f"spec_accept_hist_{w}"] = text[w]["accept_hist"]
                 extra[f"decode_tok_s_spec_7b_{w}_realized"] = round(
                     tps / t_verify, 1)
+            # BATCHED speculative serving point (round-4 VERDICT item 7):
+            # the ragged-commit core (runtime/generation.py
+            # _generate_speculative_batched_core) at batch 8. T_verify_b8 is
+            # one batch-wide verify step; acceptance is per-row and a text
+            # property (same oracle workloads as above), so aggregate
+            # realized tok/s = 8 * tokens_per_step / T_verify_b8.
+            t_plain8, t_verify8 = hw_step_costs(batch=8)
+            extra["spec_verify_step_ms_b8"] = round(t_verify8 * 1e3, 3)
+            extra["spec_plain_step_ms_b8"] = round(t_plain8 * 1e3, 3)
+            extra["decode_tok_s_spec_7b_b8_ceiling"] = round(
+                8 * 9.0 / t_verify8, 1)
+            for w in ("qa", "prose"):
+                tps = text[w]["tokens_per_step"]
+                extra[f"decode_tok_s_spec_7b_b8_{w}_realized"] = round(
+                    8 * tps / t_verify8, 1)
         except Exception as e:
             extra["spec_decode_error"] = f"{type(e).__name__}: {e}"[:200]
 

@@ -287,6 +287,7 @@ def _rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
 
 class DecoderLayer(nn.Module):
     cfg: DecoderConfig
+    layer_idx: int = 0
 
     @nn.compact
     def __call__(
@@ -294,14 +295,25 @@ class DecoderLayer(nn.Module):
         x: jnp.ndarray,                      # [B, S, D]
         positions: jnp.ndarray,              # [S]
         mask_bias: jnp.ndarray,              # [1|B, 1, S, K] additive fp32
-        cache_k: Optional[jnp.ndarray],      # [B, max_len, kv, hd] | None
-        cache_v: Optional[jnp.ndarray],
-        cache_pos: Optional[jnp.ndarray],
-        cache_k_scale: Optional[jnp.ndarray] = None,  # [B, max_len, kv]
+        cache_k: Optional[jnp.ndarray],      # FULL [L, B, max_len, kv, hd]
+        cache_v: Optional[jnp.ndarray],      # (layer_idx selects this
+        cache_pos: Optional[jnp.ndarray],    #  layer's plane) | None
+        cache_k_scale: Optional[jnp.ndarray] = None,  # [L, B, max_len, kv]
         cache_v_scale: Optional[jnp.ndarray] = None,
     ):
+        # The layer reads/writes ITS PLANE of the full stacked cache (static
+        # leading index — a contiguous view, no copy) and returns the full
+        # buffers. The previous design sliced per-layer arrays out in
+        # Decoder.__call__ and jnp.stack'ed the updates back, which defeated
+        # XLA's in-place aliasing of the decode-loop carry: buffer assignment
+        # kept TWO copies of the whole cache alive per step (measured round
+        # 5: 8k b1 lanes at ~55-70% of the weight-stream roofline, and the
+        # 8k batch-8 int8 lane failed compile at 7.2 GB weights + 2x4.4 GB
+        # cache). Threading the full buffers through a chain of
+        # dynamic_update_slice ops keeps the carry update in place.
         cfg = self.cfg
         h, kv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+        li = self.layer_idx
 
         dense = _dense_cls(cfg)
         res = x
@@ -330,27 +342,28 @@ class DecoderLayer(nn.Module):
             kq, ks = _kv_quantize(k)
             vq, vs = _kv_quantize(v)
             cache_k = jax.lax.dynamic_update_slice(
-                cache_k, kq, (0, cache_pos, 0, 0))
+                cache_k, kq[None], (li, 0, cache_pos, 0, 0))
             cache_v = jax.lax.dynamic_update_slice(
-                cache_v, vq, (0, cache_pos, 0, 0))
+                cache_v, vq[None], (li, 0, cache_pos, 0, 0))
             cache_k_scale = jax.lax.dynamic_update_slice(
-                cache_k_scale, ks, (0, cache_pos, 0))
+                cache_k_scale, ks[None], (li, 0, cache_pos, 0))
             cache_v_scale = jax.lax.dynamic_update_slice(
-                cache_v_scale, vs, (0, cache_pos, 0))
+                cache_v_scale, vs[None], (li, 0, cache_pos, 0))
             if mask_bias is None:
                 # fresh-cache flash prefill never reads the buffer — the
                 # in-flight k/v stay exact (see KVCache note).
                 k_att, v_att = k, v
             else:
-                k_att, v_att = cache_k, cache_v
-                k_rowscale, v_rowscale = cache_k_scale, cache_v_scale
+                k_att, v_att = cache_k[li], cache_v[li]
+                k_rowscale = cache_k_scale[li]
+                v_rowscale = cache_v_scale[li]
                 quant_read = True
         elif cache_k is not None:
             # Write the new keys/values at cache_pos, attend over the buffer.
             cache_k = jax.lax.dynamic_update_slice(
-                cache_k, k.astype(cache_k.dtype), (0, cache_pos, 0, 0))
+                cache_k, k.astype(cache_k.dtype)[None], (li, 0, cache_pos, 0, 0))
             cache_v = jax.lax.dynamic_update_slice(
-                cache_v, v.astype(cache_v.dtype), (0, cache_pos, 0, 0))
+                cache_v, v.astype(cache_v.dtype)[None], (li, 0, cache_pos, 0, 0))
             if mask_bias is None:
                 # flash prefill on a FRESH cache: there are no valid entries
                 # before cache_pos, so attention reduces to causal
@@ -358,24 +371,30 @@ class DecoderLayer(nn.Module):
                 # applies and the (max_len-wide) buffer is never scanned.
                 k_att, v_att = k, v
             else:
-                k_att, v_att = cache_k, cache_v
+                k_att, v_att = cache_k[li], cache_v[li]
         else:
             k_att, v_att = k, v
 
-        # GQA: repeat kv heads to match query heads (on the int8 buffer in
-        # the quantized path — 1 byte/element, 4x cheaper than fp32).
-        if kv != h:
-            rep = h // kv
-            k_att = jnp.repeat(k_att, rep, axis=2)
-            v_att = jnp.repeat(v_att, rep, axis=2)
-            if quant_read:
-                k_rowscale = jnp.repeat(k_rowscale, rep, axis=2)
-                v_rowscale = jnp.repeat(v_rowscale, rep, axis=2)
+        # GQA: grouped-query attention against the UN-expanded kv buffer.
+        # q reshapes to [B, S, kv, rep, hd] and the einsums carry the group
+        # axis; rep == 1 degenerates to plain MHA, so one path serves both.
+        # Never jnp.repeat the cached [B, max_len, kv, hd] buffer to h heads:
+        # at 8k context x batch 8 that gather materialized a 4x-expanded
+        # per-layer transient (plus its bf16 cast) — the allocation that
+        # OOM'd the round-4 8k b8 lanes (mem-efficiency intent of the
+        # reference's modeling_llama_mem.py:12-753).
+        rep = h // kv
 
         if mask_bias is None:
-            # causal path via the Pallas flash kernel
+            # causal path via the Pallas flash kernel. The kernel takes
+            # matched head counts; the repeat here touches only the
+            # in-flight rows ([B, S, kv, hd], S = prefill length), never a
+            # max_len cache buffer.
             from infinite_video_tpu.ops.pallas.flash_attention import flash_attention
 
+            if rep != 1:
+                k_att = jnp.repeat(k_att, rep, axis=2)
+                v_att = jnp.repeat(v_att, rep, axis=2)
             ctx = flash_attention(q, k_att, v_att, causal=True,
                                   interpret=cfg.flash_interpret)
             ctx = ctx.astype(v_att.dtype).reshape(b, s, h * hd)
@@ -385,23 +404,26 @@ class DecoderLayer(nn.Module):
             # dequantize-then-dot (the scale is constant along the head_dim
             # reduction), but the dots consume the int8 rows directly.
             dt = jnp.float32 if cfg.dtype == jnp.float32 else jnp.bfloat16
-            ks_t = k_rowscale.transpose(0, 2, 1)[:, :, None, :]  # [B,H,1,K]
-            vs_t = v_rowscale.transpose(0, 2, 1)[:, :, None, :]
-            scores = jnp.einsum("bqhd,bkhd->bhqk", q.astype(dt),
+            qg = q.reshape(b, s, kv, rep, hd)
+            ks_t = k_rowscale.transpose(0, 2, 1)[:, :, None, None, :]  # [B,kv,1,1,K]
+            vs_t = v_rowscale.transpose(0, 2, 1)[:, :, None, None, :]
+            scores = jnp.einsum("bqgrd,bkgd->bgrqk", qg.astype(dt),
                                 k_att.astype(dt),
                                 preferred_element_type=jnp.float32)
-            scores = scores * ks_t / (hd ** 0.5) + mask_bias
+            scores = scores * ks_t / (hd ** 0.5) + mask_bias[:, :, None]
             probs = jax.nn.softmax(scores, axis=-1)
-            ctx = jnp.einsum("bhqk,bkhd->bqhd", (probs * vs_t).astype(dt),
+            ctx = jnp.einsum("bgrqk,bkgd->bqgrd", (probs * vs_t).astype(dt),
                              v_att.astype(dt),
                              preferred_element_type=jnp.float32)
             ctx = ctx.reshape(b, s, h * hd)
         else:
-            scores = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+            qg = q.reshape(b, s, kv, rep, hd)
+            scores = jnp.einsum("bqgrd,bkgd->bgrqk", qg.astype(jnp.float32),
                                 k_att.astype(jnp.float32)) / (hd ** 0.5)
-            scores = scores + mask_bias
+            scores = scores + mask_bias[:, :, None]
             probs = jax.nn.softmax(scores, axis=-1)
-            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v_att.dtype), v_att)
+            ctx = jnp.einsum("bgrqk,bkgd->bqgrd", probs.astype(v_att.dtype),
+                             v_att)
             ctx = ctx.reshape(b, s, h * hd)
         attn_out = dense(cfg.hidden_size, name="o_proj")(ctx.astype(cfg.dtype))
         x = res + attn_out
@@ -490,28 +512,24 @@ class Decoder(nn.Module):
         layer_cls = nn.remat(DecoderLayer) if (cfg.remat and cache is None) \
             else DecoderLayer
         quant_kv = cache is not None and cache.k_scale is not None
-        new_k, new_v, new_ks, new_vs = [], [], [], []
+        # the FULL stacked buffers thread through the layers as a chain of
+        # static-index dynamic_update_slice ops (see DecoderLayer) — never
+        # sliced apart and restacked, so the decode loop updates the cache
+        # carry in place
+        ck = cache.k if cache is not None else None
+        cv = cache.v if cache is not None else None
+        cp = cache.pos if cache is not None else None
+        cks = cache.k_scale if quant_kv else None
+        cvs = cache.v_scale if quant_kv else None
         for i in range(cfg.num_layers):
-            ck = cache.k[i] if cache is not None else None
-            cv = cache.v[i] if cache is not None else None
-            cp = cache.pos if cache is not None else None
-            cks = cache.k_scale[i] if quant_kv else None
-            cvs = cache.v_scale[i] if quant_kv else None
-            x, ck, cv, cks, cvs = layer_cls(cfg, name=f"layer_{i}")(
+            x, ck, cv, cks, cvs = layer_cls(cfg, i, name=f"layer_{i}")(
                 x, rope_positions, bias, ck, cv, cp, cks, cvs)
-            if cache is not None:
-                new_k.append(ck)
-                new_v.append(cv)
-                new_ks.append(cks)
-                new_vs.append(cvs)
 
         x = RMSNorm(cfg.rms_eps, name="final_ln")(x)
         logits = _dense_cls(cfg)(cfg.vocab_size, name="lm_head")(x)
         logits = logits.astype(jnp.float32)
 
         if cache is not None:
-            cache = KVCache(k=jnp.stack(new_k), v=jnp.stack(new_v),
-                            pos=cache.pos + s,
-                            k_scale=jnp.stack(new_ks) if quant_kv else None,
-                            v_scale=jnp.stack(new_vs) if quant_kv else None)
+            cache = KVCache(k=ck, v=cv, pos=cache.pos + s,
+                            k_scale=cks, v_scale=cvs)
         return logits, cache

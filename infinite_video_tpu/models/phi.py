@@ -79,11 +79,18 @@ def _partial_rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float,
 
 class PhiLayer(nn.Module):
     cfg: PhiConfig
+    layer_idx: int = 0
 
     @nn.compact
     def __call__(self, x, positions, mask_bias, cache_k, cache_v, cache_pos):
+        # cache_k/cache_v are the FULL stacked [L, B, max_len, kv, hd]
+        # buffers; the layer writes its plane with a static-index
+        # dynamic_update_slice and reads it back as a contiguous view — the
+        # same in-place-aliasing design as models/decoder.py DecoderLayer
+        # (slice-out + jnp.stack defeated the decode-loop carry aliasing).
         cfg = self.cfg
         h, kv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+        li = self.layer_idx
         y = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                          name="input_ln")(x)
 
@@ -99,20 +106,23 @@ class PhiLayer(nn.Module):
 
         if cache_k is not None:
             cache_k = jax.lax.dynamic_update_slice(
-                cache_k, k.astype(cache_k.dtype), (0, cache_pos, 0, 0))
+                cache_k, k.astype(cache_k.dtype)[None],
+                (li, 0, cache_pos, 0, 0))
             cache_v = jax.lax.dynamic_update_slice(
-                cache_v, v.astype(cache_v.dtype), (0, cache_pos, 0, 0))
-            k_all, v_all = cache_k, cache_v
+                cache_v, v.astype(cache_v.dtype)[None],
+                (li, 0, cache_pos, 0, 0))
+            k_all, v_all = cache_k[li], cache_v[li]
         else:
             k_all, v_all = k, v
-        if kv != h:
-            k_all = jnp.repeat(k_all, h // kv, axis=2)
-            v_all = jnp.repeat(v_all, h // kv, axis=2)
-
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+        # Grouped-query attention on the un-expanded kv buffer (rep == 1 is
+        # plain MHA) — same no-repeat rule as models/decoder.py: never
+        # materialize an h/kv-expanded copy of the cache.
+        rep = h // kv
+        qg = q.reshape(b, s, kv, rep, hd)
+        scores = jnp.einsum("bqgrd,bkgd->bgrqk", qg.astype(jnp.float32),
                             k_all.astype(jnp.float32)) / (hd ** 0.5)
-        probs = jax.nn.softmax(scores + mask_bias, axis=-1)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v_all.dtype), v_all)
+        probs = jax.nn.softmax(scores + mask_bias[:, :, None], axis=-1)
+        ctx = jnp.einsum("bgrqk,bkgd->bqgrd", probs.astype(v_all.dtype), v_all)
         attn_out = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="dense")(
             ctx.reshape(b, s, h * hd).astype(cfg.dtype))
 
@@ -152,22 +162,17 @@ class PhiDecoder(nn.Module):
             bias = bias + (1.0 - attention_mask[:, None, None, :]
                            .astype(jnp.float32)) * -1e9
 
-        new_k, new_v = [], []
+        ck = cache.k if cache is not None else None
+        cv = cache.v if cache is not None else None
+        cp = cache.pos if cache is not None else None
         for i in range(cfg.num_layers):
-            ck = cache.k[i] if cache is not None else None
-            cv = cache.v[i] if cache is not None else None
-            cp = cache.pos if cache is not None else None
-            x, ck, cv = PhiLayer(cfg, name=f"layer_{i}")(x, positions, bias,
-                                                         ck, cv, cp)
-            if cache is not None:
-                new_k.append(ck)
-                new_v.append(cv)
+            x, ck, cv = PhiLayer(cfg, i, name=f"layer_{i}")(x, positions,
+                                                            bias, ck, cv, cp)
 
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                          name="final_ln")(x)
         logits = nn.Dense(cfg.vocab_size, dtype=cfg.dtype, name="lm_head")(
             x.astype(cfg.dtype)).astype(jnp.float32)
         if cache is not None:
-            cache = KVCache(k=jnp.stack(new_k), v=jnp.stack(new_v),
-                            pos=cache.pos + s)
+            cache = KVCache(k=ck, v=cv, pos=cache.pos + s)
         return logits, cache

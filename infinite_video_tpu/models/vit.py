@@ -50,21 +50,29 @@ class ViTConfig:
     # delta (≲3e-3 abs) is below bf16 rounding, so bf16 serving uses tanh
     # and fp32 parity/golden paths keep erf.
     gelu: str = "auto"
-    # Attention implementation: "auto" (Pallas whole-row kernel on TPU, XLA
-    # einsums elsewhere), "xla", or "pallas" (ops/pallas/vit_attention.py).
+    # Attention implementation: "auto" (Pallas whole-row kernel on TPU where
+    # the geometry fits VMEM, flash kernel for long joint space-time
+    # sequences, XLA einsums elsewhere), "xla", "pallas"/"pallas_direct"
+    # (ops/pallas/vit_attention.py whole-row kernels), or "flash"
+    # (ops/pallas/flash_attention.py, causal=False — the S=3136 16-frame UMT
+    # geometry where the whole-row [S,S] scores exceed VMEM).
     # Measured on v5e (tools/ab_vit_attention.py, round-4 A/B in
-    # docs/KERNELS.md): the kernel wins the full EVA-g forward by 2-4% in
-    # every paired run (e.g. 17.7 vs 18.4 ms per 8-frame chunk) even though
-    # the ISOLATED attention op slightly favors XLA — in-model the kernel's
-    # single fused dispatch per layer wins on layout/overlap.
+    # docs/KERNELS.md): the whole-row kernel wins the full EVA-g forward by
+    # 2-4% in every paired run (e.g. 17.7 vs 18.4 ms per 8-frame chunk) even
+    # though the ISOLATED attention op slightly favors XLA — in-model the
+    # kernel's single fused dispatch per layer wins on layout/overlap.
+    # Round-5 A/B (tools/ab_umt_attention.py, KERNELS.md §6): at the UMT
+    # S=3136 geometry the non-causal flash kernel vs XLA decides the auto
+    # route below.
     attn_impl: str = "auto"
     attn_interpret: bool = False      # test hook for the Pallas path
 
     def __post_init__(self):
-        if self.attn_impl not in ("auto", "xla", "pallas", "pallas_direct"):
+        if self.attn_impl not in ("auto", "xla", "pallas", "pallas_direct",
+                                  "pallas_packed", "flash"):
             raise ValueError("ViTConfig.attn_impl must be 'auto', 'xla', "
-                             "'pallas' or 'pallas_direct', got "
-                             f"{self.attn_impl!r}")
+                             "'pallas', 'pallas_direct', 'pallas_packed' or "
+                             f"'flash', got {self.attn_impl!r}")
 
     @property
     def gelu_approximate(self) -> bool:
@@ -168,17 +176,38 @@ class ViTAttention(nn.Module):
         if impl == "auto":
             from infinite_video_tpu.ops.pallas.vit_attention import fits_vmem
 
-            impl = ("pallas" if jax.default_backend() == "tpu"
-                    and fits_vmem(s, cfg.head_dim, x.dtype) else "xla")
-        if impl in ("pallas", "pallas_direct"):
+            if jax.default_backend() != "tpu":
+                impl = "xla"
+            elif fits_vmem(s, cfg.head_dim, x.dtype):
+                impl = "pallas"
+            else:
+                # long joint space-time sequences (16-frame UMT, S=3136):
+                # whole-row scores exceed VMEM; the non-causal flash kernel
+                # wins the A/B vs the XLA einsums at this geometry
+                # (tools/ab_umt_attention.py, docs/KERNELS.md §6)
+                impl = "flash"
+        if impl == "flash":
+            from infinite_video_tpu.ops.pallas.flash_attention import (
+                flash_attention)
+
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            out = flash_attention(q, k, v, causal=False,
+                                  sm_scale=cfg.head_dim ** -0.5,
+                                  interpret=cfg.attn_interpret)
+            out = out.astype(cfg.dtype).reshape(b, s, d)
+            return nn.Dense(d, dtype=cfg.dtype, name="proj")(out)
+        if impl in ("pallas", "pallas_direct", "pallas_packed"):
             # fused entries: consume [b, s, 3, h, hd] directly — "pallas"
             # pays one layout op into the kernel; "pallas_direct" indexes
-            # the projection tensor in place, zero boundary layout ops
-            # (A/B in docs/KERNELS.md §4)
+            # the projection tensor in place (one transpose out);
+            # "pallas_packed" additionally writes straight into the
+            # [b, s, h*hd] layout the proj Dense consumes — zero XLA layout
+            # ops on either side (A/B in docs/KERNELS.md §4)
             from infinite_video_tpu.ops.pallas import vit_attention as vk
 
-            fn = (vk.vit_attention_qkv_direct if impl == "pallas_direct"
-                  else vk.vit_attention_qkv)
+            fn = {"pallas": vk.vit_attention_qkv,
+                  "pallas_direct": vk.vit_attention_qkv_direct,
+                  "pallas_packed": vk.vit_attention_qkv_packed}[impl]
             out = fn(qkv, sm_scale=cfg.head_dim ** -0.5,
                      interpret=cfg.attn_interpret)
             return nn.Dense(d, dtype=cfg.dtype, name="proj")(out)

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 __all__ = ["vit_attention", "vit_attention_qkv", "vit_attention_qkv_direct",
-           "fits_vmem"]
+           "vit_attention_qkv_packed", "fits_vmem"]
 
 _NEG_INF = -1e30
 
@@ -209,6 +209,75 @@ def vit_attention_qkv(qkv: jnp.ndarray, *, sm_scale: float | None = None,
         interpret=interpret,
     )(g, g, g)
     return out.reshape(b, h, s, d).transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+def _kernel_packed(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float,
+                   block_h: int):
+    """(dot, softmax, dot) per head on blocks cut straight out of the 5-D
+    projection tensor (refs [1, S, 1, block_h, D] like _kernel_direct), but
+    the per-head outputs CONCATENATE in-register and store as one
+    [S, block_h*D] block of the FINAL [B, S, H*D] layout — no head-major
+    intermediate, no XLA transpose on either side of the kernel."""
+    outs = []
+    for i in range(block_h):
+        q = q_ref[0, :, 0, i] * q_ref.dtype.type(sm_scale)   # [s, d]
+        s = jax.lax.dot_general(
+            q, k_ref[0, :, 0, i], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [s, s]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        r = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, :, 0, i], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        outs.append((o * r).astype(o_ref.dtype))
+    o_ref[0] = outs[0] if block_h == 1 else jnp.concatenate(outs, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "block_h",
+                                             "interpret"))
+def vit_attention_qkv_packed(qkv: jnp.ndarray, *,
+                             sm_scale: float | None = None,
+                             block_h: int = 8,
+                             interpret: bool = False) -> jnp.ndarray:
+    """Whole-row attention [B, S, 3, H, D] -> [B, S, H*D] with ZERO XLA
+    layout ops on either side: reads the projection tensor in place like
+    `vit_attention_qkv_direct`, and writes each grid step's heads as one
+    [S, block_h*D] column block of the final packed output (the layout the
+    output Dense consumes), so the head-major intermediate and its transpose
+    disappear. The price is an in-register concatenate of block_h [S, D]
+    tiles before the store (a VMEM relayout Mosaic schedules alongside the
+    next head's dots)."""
+    b, s, three, h, d = qkv.shape
+    assert three == 3, qkv.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+
+    while h % block_h:
+        block_h //= 2
+    s_p = -(-s // 16) * 16
+    d_p = max(-(-d // 128) * 128, 128)
+    elt = jnp.dtype(qkv.dtype).itemsize
+    per_head = s_p * s_p * 4 + 4 * s_p * d_p * elt
+    while block_h > 1 and block_h * per_head > 12 * 1024 * 1024:
+        block_h //= 2
+
+    def spec(role):
+        return pl.BlockSpec((1, s, 1, block_h, d),
+                            lambda bi, hb, role=role: (bi, 0, role, hb, 0))
+
+    kernel = functools.partial(_kernel_packed, sm_scale=sm_scale,
+                               block_h=block_h)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, h // block_h),
+        in_specs=[spec(0), spec(1), spec(2)],
+        out_specs=pl.BlockSpec((1, s, block_h * d),
+                               lambda bi, hb: (bi, 0, hb)),
+        out_shape=jax.ShapeDtypeStruct((b, s, h * d), qkv.dtype),
+        interpret=interpret,
+    )(qkv, qkv, qkv)
+    return out
 
 
 def _kernel_direct(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float,

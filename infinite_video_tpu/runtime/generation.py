@@ -73,15 +73,17 @@ class GenerationConfig:
     # recompiling per question (remote compiles cost seconds-to-minutes on
     # tunneled TPUs). 0 = exact length (flash prefill stays available).
     pad_to_multiple: int = 0
-    # Speculative decoding (prompt-lookup drafting, B=1 only):
+    # Speculative decoding (prompt-lookup drafting):
     # spec_tokens > 0 verifies that many n-gram-drafted tokens per decode
     # step in ONE widened forward. b1 decode streams the full weight set per
     # step regardless of 1 or K+1 in-flight tokens (HBM-bound — see
     # docs/KERNELS.md §3), so accepted drafts are nearly free. Greedy decode
     # yields the exact greedy continuation regardless of draft quality;
     # sampling uses exact point-mass speculative sampling (same output
-    # DISTRIBUTION as plain sampling; rng consumption differs). Ignored
-    # (plain decode) when repetition_penalty != 1 or batch > 1.
+    # DISTRIBUTION as plain sampling; rng consumption differs). Batch > 1
+    # uses the ragged-commit batched core (_generate_speculative_batched_core
+    # — greedy only; per-row accept lengths, per-row drafts). Ignored (plain
+    # decode) when repetition_penalty != 1, or when batch > 1 with sampling.
     spec_tokens: int = 0
     spec_ngram: int = 3
 
@@ -198,6 +200,9 @@ def generate(
         rng = jax.random.PRNGKey(0)
     use_spec = (cfg.spec_tokens > 0 and b == 1
                 and cfg.repetition_penalty == 1.0)
+    use_spec_batched = (cfg.spec_tokens > 0 and b > 1
+                        and not cfg.do_sample
+                        and cfg.repetition_penalty == 1.0)
     if use_spec:
         ctx0, start = _spec_context(cfg, draft_ids)
         tokens, nsteps, committed = _generate_speculative_core(
@@ -207,6 +212,16 @@ def generate(
         if return_spec_stats:
             return tokens, {"verify_steps": int(nsteps),
                             "committed": int(committed) + 1}
+        return tokens
+    if use_spec_batched:
+        ctx0, start = _spec_context_batched(cfg, draft_ids, b)
+        tokens, nsteps, committed = _generate_speculative_batched_core(
+            model, cfg, masked, params, jnp.asarray(prompt_embeds),
+            prompt_mask, jnp.asarray(ctx0), jnp.asarray(start, jnp.int32),
+            rng)
+        if return_spec_stats:
+            return tokens, {"verify_steps": int(nsteps),
+                            "committed": int(committed)}
         return tokens
     out = _generate_core(model, cfg, masked, params,
                          jnp.asarray(prompt_embeds), prompt_mask, rng)
@@ -451,6 +466,176 @@ def _generate_speculative_core(model: Decoder, cfg: GenerationConfig,
           jnp.asarray(0, jnp.int32))
     t, tokens, _, _, _, _, _, nsteps = jax.lax.while_loop(cond, body, st)
     return tokens[:, :cfg.max_new_tokens], nsteps, t
+
+
+def _window_write(buf: jnp.ndarray, win: jnp.ndarray,
+                  start: jnp.ndarray) -> jnp.ndarray:
+    """Write `win` [B, W] into `buf` [B, T] at per-row offsets `start` [B]
+    (the batched analogue of dynamic_update_slice with a per-row start).
+    Gather-based — no scatter, so it lowers to vector selects on TPU."""
+    col = jnp.arange(buf.shape[1])[None, :]
+    rel = col - start[:, None]
+    take = (rel >= 0) & (rel < win.shape[1])
+    gathered = jnp.take_along_axis(win, jnp.clip(rel, 0, win.shape[1] - 1),
+                                   axis=1)
+    return jnp.where(take, gathered, buf)
+
+
+def _hits_stop_at(tokens: jnp.ndarray, end: jnp.ndarray,
+                  stop: Tuple[int, ...]) -> jnp.ndarray:
+    """True per row where the stop id sequence ends at per-row index `end`
+    of `tokens` [B, T] (the per-row-index analogue of _hits_stop)."""
+    hit = jnp.ones(tokens.shape[0], bool)
+    for j, sid in enumerate(reversed(stop)):
+        i2 = end - j
+        tok = jnp.take_along_axis(
+            tokens, jnp.clip(i2, 0, tokens.shape[1] - 1)[:, None], axis=1)[:, 0]
+        hit &= (i2 >= 0) & (tok == sid)
+    return hit
+
+
+@partial(jax.jit, static_argnames=("model", "cfg", "masked"))
+def _generate_speculative_batched_core(model: Decoder, cfg: GenerationConfig,
+                                       masked: bool, params, prompt_embeds,
+                                       prompt_mask, ctx0, ctx_start, rng):
+    """Batched greedy speculative decode with RAGGED per-row commits.
+
+    The b1 core rewinds cache.pos to the committed length each step — with a
+    batch that is impossible (KVCache.pos is one scalar; rows accept
+    different draft prefixes). This core decouples BUFFER SLOTS from LOGICAL
+    POSITIONS instead:
+
+      - every verify step writes its K+1-wide window at the same shared
+        slots [pos, pos+K+1) for all rows and pos always advances by K+1 —
+        no rewind, no per-row scatter;
+      - each row tracks its logical generated count g_r; a per-row kv_mask
+        marks which buffer slots hold that row's committed tokens
+        (slot pos+i valid iff i < c_r this step) — rejected-draft slots stay
+        masked out forever and are simply dead slots;
+      - RoPE phases come from per-row `position_ids`
+        (s - pad_r + g_r - 1 + i), so the content stream stays contiguous
+        even though buffer slots are not.
+
+    The price is cache capacity: the generated region occupies
+    steps·(K+1) ≤ max_new·(K+1) slots instead of max_new (the prompt region
+    is unaffected), and attention reads scan the wider buffer — both
+    negligible against the 7B weight stream that dominates a decode step
+    (docs/KERNELS.md §3). Greedy only: per-row outputs equal plain batched
+    greedy decode exactly (tests/test_generation.py); sampling at b>1 falls
+    back to the plain path in generate().
+
+    Returns (tokens [B, max_new], verify_steps, total committed tokens)."""
+    k = cfg.spec_tokens
+    b, s, _ = prompt_embeds.shape
+    dcfg: DecoderConfig = model.cfg
+    max_new = cfg.max_new_tokens
+    max_len = s + (max_new + 1) * (k + 1)
+    idx = jnp.arange(k + 1)
+
+    # --- prefill (custom buffer sizes; mirrors _prefill_state otherwise) ---
+    cache = init_kv_cache(dcfg, b, max_len)
+    buffer_mask = jnp.zeros((b, max_len))
+    flash_prefill = not masked and dcfg.use_flash and s > 1
+    buffer_mask = jax.lax.dynamic_update_slice(
+        buffer_mask, prompt_mask.astype(jnp.float32), (0, 0))
+    pad_offset = (1.0 - prompt_mask.astype(jnp.float32)).sum(axis=1).astype(
+        jnp.int32)
+    logits, cache = model.apply(
+        {"params": params}, inputs_embeds=prompt_embeds,
+        attention_mask=None if flash_prefill else buffer_mask, cache=cache,
+        position_offset=None if flash_prefill else pad_offset)
+    rng, sub = jax.random.split(rng)
+    first = _next_token(sub, logits[:, -1], cfg, gen_index=0).astype(jnp.int32)
+
+    tokens = jnp.full((b, max_new + k + 1), cfg.pad_token_id, jnp.int32)
+    tokens = tokens.at[:, 0].set(first)
+    done = first == cfg.eos_token_id
+    for stop in cfg.stop_sequences:
+        done |= _hits_stop(tokens, jnp.asarray(0), stop)
+    g = jnp.ones((b,), jnp.int32)                    # committed per row
+    ctx = _window_write(ctx0, first[:, None], ctx_start)
+    cur = ctx_start + 1
+    col = jnp.arange(max_len)[None, :]
+    draft_fn = jax.vmap(
+        lambda c, u, l: _ngram_draft(c, u, l, k, cfg.spec_ngram))
+
+    def cond(st):
+        g, _, _, done, _, _, _, _ = st
+        return ~jnp.all(done | (g >= max_new))
+
+    def body(st):
+        g, tokens, cache, done, ctx, cur, kv_mask, nsteps = st
+        last = jnp.take_along_axis(tokens, (g - 1)[:, None], axis=1)[:, 0]
+        draft = draft_fn(ctx, cur, last)                       # [B, K]
+        step_ids = jnp.concatenate([last[:, None], draft], axis=1)
+        pos = cache.pos
+        mask = jnp.maximum(kv_mask, ((col >= pos) & (col < pos + k + 1))
+                           .astype(kv_mask.dtype))
+        position_ids = (s - pad_offset + g - 1)[:, None] + idx[None, :]
+        logits, cache = model.apply({"params": params}, input_ids=step_ids,
+                                    attention_mask=mask, cache=cache,
+                                    position_ids=position_ids)
+        lw = logits                                            # [B, K+1, V]
+        if cfg.min_new_tokens >= 1:
+            gi = g[:, None] + idx[None, :]
+            block = (gi < cfg.min_new_tokens)[:, :, None]
+            eos1 = (jnp.arange(lw.shape[-1]) == cfg.eos_token_id)[None, None]
+            lw = jnp.where(block & eos1, -jnp.inf, lw)
+        out = jnp.argmax(lw, axis=-1).astype(jnp.int32)        # [B, K+1]
+        accepted = jnp.sum(jnp.cumprod(
+            (draft == out[:, :k]).astype(jnp.int32), axis=1), axis=1)
+        c_try = accepted + 1
+        win_try = jnp.where(idx[None] < c_try[:, None], out, cfg.pad_token_id)
+        tokens_try = _window_write(tokens, win_try, g)
+        hit = (out == cfg.eos_token_id) & (idx[None] < c_try[:, None])
+        for stop in cfg.stop_sequences:
+            for i in range(k + 1):
+                hit = hit.at[:, i].set(
+                    hit[:, i] | _hits_stop_at(tokens_try, g + i, stop))
+        hit &= idx[None] < c_try[:, None]
+        first_hit = jnp.min(jnp.where(hit, idx[None], k + 1), axis=1)
+        c = jnp.where(first_hit <= k, first_hit + 1, c_try)
+        c = jnp.minimum(c, max_new - g)                        # budget cap
+        c = jnp.where(done, 0, c)
+        win = jnp.where(idx[None] < c[:, None], out, cfg.pad_token_id)
+        tokens = _window_write(tokens, win, g)
+        ctx = _window_write(ctx, win, cur)
+        kv_mask = jnp.where((col >= pos) & (col < pos + c[:, None]),
+                            1.0, kv_mask)
+        done = done | jnp.any(hit & (idx[None] < c[:, None]), axis=1)
+        cache = cache.replace(pos=pos + k + 1)
+        return g + c, tokens, cache, done, ctx, cur + c, kv_mask, nsteps + 1
+
+    st = (g, tokens, cache, done, ctx, cur, buffer_mask,
+          jnp.asarray(0, jnp.int32))
+    g, tokens, _, _, _, _, _, nsteps = jax.lax.while_loop(cond, body, st)
+    return tokens[:, :max_new], nsteps, g.sum()
+
+
+def _spec_context_batched(cfg: GenerationConfig, draft_ids,
+                          b: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-row draft-context buffers for the batched core: [B, L] with -1
+    left pad / sentinel spans and right-aligned generation room (length
+    bucketed to 128 like _spec_context). `draft_ids` may be None, one 1-D id
+    array shared by every row, a list of per-row 1-D arrays, or [B, L] ids.
+    Returns (ctx [B, L], write_start [B])."""
+    gen_room = cfg.max_new_tokens + cfg.spec_tokens + 1
+    if draft_ids is None:
+        rows = [np.zeros((0,), np.int32)] * b
+    elif isinstance(draft_ids, (list, tuple)):
+        rows = [np.asarray(r, np.int32).reshape(-1) for r in draft_ids]
+    else:
+        a = np.asarray(draft_ids, np.int32)
+        rows = [a.reshape(-1)] * b if a.ndim == 1 else list(a)
+    assert len(rows) == b, (len(rows), b)
+    total = max(r.shape[0] for r in rows) + gen_room
+    padded = -(-total // 128) * 128
+    ctx = np.full((b, padded), -1, np.int32)
+    start = np.full((b,), padded - gen_room, np.int32)
+    for i, r in enumerate(rows):
+        if len(r):
+            ctx[i, start[i] - len(r):start[i]] = r
+    return ctx, start
 
 
 def _spec_context(cfg: GenerationConfig, draft_ids) -> Tuple[np.ndarray, int]:

@@ -498,8 +498,9 @@ def test_speculative_with_pad_to_multiple_and_embeds():
 
 
 def test_speculative_falls_back_when_unsupported():
-    """batch>1 / repetition penalty silently use the plain path (same
-    executable, same results as spec_tokens=0)."""
+    """Repetition penalty silently uses the plain path; greedy batch>1 now
+    routes through the batched ragged-commit core, whose outputs must equal
+    plain batched greedy exactly."""
     _, model, params = _tiny_pair(seed=0)
     ids = np.random.default_rng(0).integers(3, 96, (2, 6))
     rp_spec = np.asarray(generate(
@@ -514,6 +515,105 @@ def test_speculative_falls_back_when_unsupported():
     batched_plain = np.asarray(generate(model, params, _spec_cfg(spec_tokens=0),
                                         prompt_ids=jnp.asarray(ids)))
     np.testing.assert_array_equal(batched, batched_plain)
+    # sampling at b>1 stays on the plain path (the batched core is
+    # greedy-only): same seed => identical trace
+    samp_spec = np.asarray(generate(
+        model, params, _spec_cfg(do_sample=True, temperature=0.9),
+        prompt_ids=jnp.asarray(ids), rng=jax.random.PRNGKey(5)))
+    samp_plain = np.asarray(generate(
+        model, params, _spec_cfg(do_sample=True, temperature=0.9,
+                                 spec_tokens=0),
+        prompt_ids=jnp.asarray(ids), rng=jax.random.PRNGKey(5)))
+    np.testing.assert_array_equal(samp_spec, samp_plain)
+
+
+def test_speculative_batched_matches_plain_greedy():
+    """Batched ragged-commit speculative decode: whatever the per-row draft
+    quality (echo for one row, junk for another, none for a third), outputs
+    equal plain batched greedy decode EXACTLY, and per-row accept rates may
+    differ (the ragged part)."""
+    _, model, params = _tiny_pair(seed=7)
+    rng = np.random.default_rng(7)
+    ids = rng.integers(3, 96, (3, 6))
+    plain = np.asarray(generate(model, params, _spec_cfg(spec_tokens=0),
+                                prompt_ids=jnp.asarray(ids)))
+    echo0 = np.concatenate([ids[0], plain[0]])
+    junk = rng.integers(3, 96, (30,))
+    spec, stats = generate(model, params, _spec_cfg(),
+                           prompt_ids=jnp.asarray(ids),
+                           draft_ids=[echo0, junk, np.zeros(0, np.int32)],
+                           return_spec_stats=True)
+    np.testing.assert_array_equal(np.asarray(spec), plain)
+    assert stats["committed"] == 3 * 24, stats
+    # the echo row cannot make the LOOP shorter than the junk rows need,
+    # but the whole batch must still finish in <= max_new verify steps
+    assert stats["verify_steps"] <= 24, stats
+
+
+def test_speculative_batched_all_echo_is_fast():
+    """All rows with echo contexts: the batch commits multiple tokens per
+    row per verify step, so verify_steps comes in well under max_new."""
+    _, model, params = _tiny_pair(seed=8)
+    ids = np.random.default_rng(8).integers(3, 96, (2, 5))
+    plain = np.asarray(generate(model, params, _spec_cfg(spec_tokens=0),
+                                prompt_ids=jnp.asarray(ids)))
+    drafts = [np.concatenate([ids[i], plain[i]]) for i in range(2)]
+    spec, stats = generate(model, params, _spec_cfg(),
+                           prompt_ids=jnp.asarray(ids), draft_ids=drafts,
+                           return_spec_stats=True)
+    np.testing.assert_array_equal(np.asarray(spec), plain)
+    assert stats["verify_steps"] <= 8, stats
+
+
+def test_speculative_batched_stop_eos_and_budgets():
+    """Per-row EOS/stop-sequence truncation and sub-window budgets match the
+    plain batched loop exactly (rows stop raggedly)."""
+    _, model, params = _tiny_pair(seed=9)
+    ids = np.random.default_rng(9).integers(3, 96, (2, 6))
+    free = np.asarray(generate(
+        model, params, _spec_cfg(max_new_tokens=12, spec_tokens=0),
+        prompt_ids=jnp.asarray(ids)))
+    stop_tok = int(free[0][4])      # row 0 stops mid-stream, row 1 may not
+    for kw in ({"stop_sequences": ((stop_tok,),)},
+               {"eos_token_id": stop_tok},
+               {"eos_token_id": stop_tok, "min_new_tokens": 3},
+               {"max_new_tokens": 3, "spec_tokens": 8}):
+        plain = np.asarray(generate(
+            model, params,
+            _spec_cfg(max_new_tokens=kw.get("max_new_tokens", 12),
+                      spec_tokens=0,
+                      **{k: v for k, v in kw.items()
+                         if k not in ("spec_tokens", "max_new_tokens")}),
+            prompt_ids=jnp.asarray(ids)))
+        spec = np.asarray(generate(
+            model, params,
+            _spec_cfg(**{**{"max_new_tokens": 12}, **kw}),
+            prompt_ids=jnp.asarray(ids), draft_ids=[free[0], free[1]]))
+        np.testing.assert_array_equal(spec, plain)
+
+
+def test_speculative_batched_left_padded_embeds():
+    """Left-padded prompt embeddings + mask (the serving answer_batch shape)
+    compose with the batched speculative path: per-row RoPE offsets keep
+    positions content-aligned."""
+    _, model, params = _tiny_pair(seed=10)
+    rng = np.random.default_rng(10)
+    rows = [rng.integers(3, 96, (n,)) for n in (5, 8)]
+    width = max(len(r) for r in rows)
+    ids_p = np.zeros((2, width), np.int64)
+    mask = np.zeros((2, width), np.float32)
+    for i, r in enumerate(rows):
+        ids_p[i, width - len(r):] = r
+        mask[i, width - len(r):] = 1.0
+    embs = model.apply({"params": params}, input_ids=jnp.asarray(ids_p),
+                       embed_only=True)
+    plain = np.asarray(generate(
+        model, params, _spec_cfg(spec_tokens=0), prompt_embeds=embs,
+        prompt_mask=jnp.asarray(mask)))
+    spec = np.asarray(generate(
+        model, params, _spec_cfg(), prompt_embeds=embs,
+        prompt_mask=jnp.asarray(mask), draft_ids=[r for r in rows]))
+    np.testing.assert_array_equal(spec, plain)
 
 
 def test_speculative_sampling_statistical_parity():

@@ -92,6 +92,42 @@ def test_vit_attention_qkv_direct_matches_xla(shape):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("shape", [
+    (2, 257, 4, 88),    # EVA-g geometry (ragged S and head_dim)
+    (1, 128, 3, 64),    # aligned S, odd head count (forces block_h fallback)
+    (2, 50, 2, 32),     # tiny ragged everything
+])
+def test_vit_attention_qkv_packed_matches_xla(shape):
+    """The packed-output entry ([B,S,3,H,D] in, [B,S,H*D] out — zero layout
+    ops on either side)."""
+    from infinite_video_tpu.ops.pallas.vit_attention import (
+        vit_attention_qkv_packed)
+
+    b, s, h, d = shape
+    qkv = jax.random.normal(jax.random.PRNGKey(6), (b, s, 3, h, d),
+                            jnp.float32)
+    out = vit_attention_qkv_packed(qkv, interpret=True)
+    ref = _ref_attention(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2])
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(ref.reshape(b, s, h * d)),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_vit_attention_flash_impl_matches_xla():
+    """attn_impl='flash' (the S=3136 UMT route) matches the XLA einsums at
+    module level (interpret mode; fp32)."""
+    base = dict(img_size=28, patch_size=14, embed_dim=64, depth=1,
+                num_heads=4, mlp_hidden=128, dtype=jnp.float32, gelu="erf")
+    cfg_x = ViTConfig(**base)
+    cfg_f = ViTConfig(**base, attn_impl="flash", attn_interpret=True)
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 37, 64), jnp.float32)
+    params = ViTAttention(cfg_x).init(jax.random.PRNGKey(8), x)
+    out_x = ViTAttention(cfg_x).apply(params, x)
+    out_f = ViTAttention(cfg_f).apply(params, x)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_vit_attention_module_wiring():
     """ViTConfig.attn_impl='pallas' produces the same block output as 'xla'."""
     base = dict(img_size=28, patch_size=14, embed_dim=64, depth=1,

@@ -96,9 +96,11 @@ def main():
     fx = timed("vit full attn=xla", vit_stream("xla"), n)
     fp = timed("vit full attn=pallas", vit_stream("pallas"), n)
     fd = timed("vit full attn=pallas_direct", vit_stream("pallas_direct"), n)
+    fk = timed("vit full attn=pallas_packed", vit_stream("pallas_packed"), n)
     print(f"e2e: xla {CHUNK/fx:.1f} f/s vs pallas {CHUNK/fp:.1f} "
           f"({(fx/fp-1)*100:+.1f}%) vs direct {CHUNK/fd:.1f} f/s "
-          f"({(fx/fd-1)*100:+.1f}%)", flush=True)
+          f"({(fx/fd-1)*100:+.1f}%) vs packed {CHUNK/fk:.1f} f/s "
+          f"({(fx/fk-1)*100:+.1f}%)", flush=True)
 
 
 if __name__ == "__main__":

@@ -226,13 +226,16 @@ def measure_text_acceptance(n_samples: int = 40, seed: int = 0):
 
 
 def hw_step_costs(prefill: int = 128, n_base: int = 16, n_long: int = 144,
-                  k: int = K):
+                  k: int = K, batch: int = 1):
     """Measure (T_plain, T_verify) seconds on the int8 7B through the real
     generate() path. T_verify comes from the echo-draft spec run: wall-time
     difference of same-seed long/base runs over the difference in verify
     steps (stats from return_spec_stats). Timing: same-seed long-minus-base
     differencing (fixed dispatch cancels); fresh seeds per timed dispatch
-    (the relay cannot replay)."""
+    (the relay cannot replay). batch > 1 exercises the batched ragged-commit
+    speculative core (runtime/generation.py) with per-row echo drafts;
+    T_verify is then the cost of one BATCH-wide verify step (aggregate
+    tok/s = batch * tokens_per_step / T_verify)."""
     import dataclasses
 
     from infinite_video_tpu.models.decoder import Decoder, mistral7b_config
@@ -253,7 +256,8 @@ def hw_step_costs(prefill: int = 128, n_base: int = 16, n_long: int = 144,
 
     def emb_for(seed):
         return jax.random.normal(jax.random.PRNGKey(seed),
-                                 (1, prefill, cfg.hidden_size), jnp.bfloat16)
+                                 (batch, prefill, cfg.hidden_size),
+                                 jnp.bfloat16)
 
     def run(seed, n, spec, draft=None):
         t0 = time.perf_counter()
@@ -268,11 +272,16 @@ def hw_step_costs(prefill: int = 128, n_base: int = 16, n_long: int = 144,
                             return_spec_stats=True)
         return stats["verify_steps"]
 
+    def echo(toks):
+        # per-row echo drafts; the b1 core takes one 1-D array, the batched
+        # core a list of per-row arrays
+        return toks[0] if batch == 1 else list(toks)
+
     # warm all four executables
     _, warm = run(100, n_long, 0)
     run(100, n_base, 0)
-    run(100, n_long, k, draft=warm[0])
-    run(100, n_base, k, draft=warm[0])
+    run(100, n_long, k, draft=echo(warm))
+    run(100, n_base, k, draft=echo(warm))
 
     t_plain = float("inf")
     for seed in (31, 32):
@@ -283,7 +292,7 @@ def hw_step_costs(prefill: int = 128, n_base: int = 16, n_long: int = 144,
     t_verify = float("inf")
     for seed in (41, 42):
         _, toks = run(seed, n_long, 0)   # echo draft for THIS prompt
-        d = toks[0]
+        d = echo(toks)
         tb, _ = run(seed, n_base, k, draft=d)
         tl, _ = run(seed, n_long, k, draft=d)
         ds = steps_of(seed, n_long, d) - steps_of(seed, n_base, d)
