@@ -179,7 +179,12 @@ class ViTAttention(nn.Module):
             if jax.default_backend() != "tpu":
                 impl = "xla"
             elif fits_vmem(s, cfg.head_dim, x.dtype):
-                impl = "pallas"
+                # packed-output entry: zero XLA layout ops on either side;
+                # round-5 A/B (tools/ab_vit_attention.py): 267.5 f/s full
+                # EVA-g vs 252.1 qkv-entry vs 237.5 XLA. Falls back to the
+                # qkv entry internally when the all-heads block exceeds VMEM
+                # (e.g. UMT 8-frame S=1568).
+                impl = "pallas_packed"
             else:
                 # long joint space-time sequences (16-frame UMT, S=3136):
                 # whole-row scores exceed VMEM; the non-causal flash kernel

@@ -234,46 +234,50 @@ def _kernel_packed(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float,
     o_ref[0] = outs[0] if block_h == 1 else jnp.concatenate(outs, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("sm_scale", "block_h",
-                                             "interpret"))
+@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
 def vit_attention_qkv_packed(qkv: jnp.ndarray, *,
                              sm_scale: float | None = None,
-                             block_h: int = 8,
                              interpret: bool = False) -> jnp.ndarray:
     """Whole-row attention [B, S, 3, H, D] -> [B, S, H*D] with ZERO XLA
     layout ops on either side: reads the projection tensor in place like
-    `vit_attention_qkv_direct`, and writes each grid step's heads as one
-    [S, block_h*D] column block of the final packed output (the layout the
-    output Dense consumes), so the head-major intermediate and its transpose
-    disappear. The price is an in-register concatenate of block_h [S, D]
-    tiles before the store (a VMEM relayout Mosaic schedules alongside the
-    next head's dots)."""
+    `vit_attention_qkv_direct`, and writes the final packed layout (the one
+    the output Dense consumes) directly, so the head-major intermediate and
+    its transpose disappear.
+
+    Mosaic requires the trailing output-block dim to be 128-divisible or
+    equal to the full array dim — H*D (e.g. EVA-g's 16*88) is generally not
+    128-divisible — so each grid step must cover ALL heads of one batch
+    element (grid=(B,), out block [S, H*D]), with the per-head (dot,
+    softmax, dot) chains unrolled in the body and their [S, D] tiles
+    concatenated in-register before the single store. That pins the VMEM
+    working set to in/out blocks + one live fp32 [S_p, S_p] score tile;
+    geometries where that exceeds the ~12 MB budget fall back to
+    `vit_attention_qkv` (one boundary transpose each way)."""
     b, s, three, h, d = qkv.shape
     assert three == 3, qkv.shape
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
 
-    while h % block_h:
-        block_h //= 2
     s_p = -(-s // 16) * 16
     d_p = max(-(-d // 128) * 128, 128)
     elt = jnp.dtype(qkv.dtype).itemsize
-    per_head = s_p * s_p * 4 + 4 * s_p * d_p * elt
-    while block_h > 1 and block_h * per_head > 12 * 1024 * 1024:
-        block_h //= 2
+    # live set: 3 qkv in-blocks + out block (all heads) + ~2 fp32 score
+    # tiles for the unrolled chain in flight
+    live = (4 * h * s_p * d_p * elt) + 2 * s_p * s_p * 4
+    if live > 12 * 1024 * 1024:
+        return vit_attention_qkv(qkv, sm_scale=sm_scale, interpret=interpret)
 
     def spec(role):
-        return pl.BlockSpec((1, s, 1, block_h, d),
-                            lambda bi, hb, role=role: (bi, 0, role, hb, 0))
+        return pl.BlockSpec((1, s, 1, h, d),
+                            lambda bi, role=role: (bi, 0, role, 0, 0))
 
     kernel = functools.partial(_kernel_packed, sm_scale=sm_scale,
-                               block_h=block_h)
+                               block_h=h)
     out = pl.pallas_call(
         kernel,
-        grid=(b, h // block_h),
+        grid=(b,),
         in_specs=[spec(0), spec(1), spec(2)],
-        out_specs=pl.BlockSpec((1, s, block_h * d),
-                               lambda bi, hb: (bi, 0, hb)),
+        out_specs=pl.BlockSpec((1, s, h * d), lambda bi: (bi, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, s, h * d), qkv.dtype),
         interpret=interpret,
     )(qkv, qkv, qkv)
