@@ -60,12 +60,16 @@ def stream_two_phase(
     chunks' frames are encoded in large batches first, and only the stateful
     LTM/video-Q-former scans sequentially.
 
-    Equivalent output to stream_chunks(full encode). Honest v5e measurement
-    (bench.py e2e_vision*): at EVA-g geometry with 8-frame chunks the fused
-    per-chunk scan is slightly FASTER (188 vs 174 f/s) — a batch-8 EVA-g
-    already saturates the MXU. Two-phase pays off when per-chunk ViT batches
-    are small (few frames per chunk, small encoders) or when `vit_macro_batch`
-    must bound ViT memory; the engines default to the fused path.
+    Equivalent output to stream_chunks(full encode). Measured at MATCHED
+    geometry (tools/ab_two_phase.py, round 5 — same chunk count, per-video
+    state re-init, two-length timing): two-phase wins short videos (C=8:
+    269.8 vs 257.1 f/s at EVA-g geometry) and loses past a crossover
+    between 8 and 16 chunks (C=16: 239.2 vs 252.8; C=32: 230.2 vs 253.1 —
+    the C·B-frame macro-batch's activation footprint grows with C). The
+    engines pick per chunk count at trace time (eval/engine.py _encode);
+    `vit_macro_batch` bounds ViT memory when two-phase is forced on long
+    videos. Earlier rounds' unmatched-geometry comparisons (r3 "222.5 vs
+    159.2", r4 "237.0 vs 266.61") are superseded by this table.
     """
     c, b = chunks.shape[:2]
     flat = chunks.reshape((c * b,) + chunks.shape[2:])
