@@ -413,7 +413,8 @@ def _decode_tok_s(batch: int = 1, prefill: int = 128, n_steps: int = 128,
 
 
 def _long_ctx_decode_tok_s(batch: int = 1, ctx: int = 8192,
-                           n_steps: int = 64, kv_quant: bool = False) -> float:
+                           n_steps: int = 64, kv_quant: bool = False,
+                           bits: int = 8) -> float:
     """Long-session decode throughput: int8-weight 7B with the KV cache
     pre-filled to ctx - n_steps - 1 positions (random content, built on-device
     from the seed — throughput depends only on bytes streamed). This is where
@@ -432,7 +433,8 @@ def _long_ctx_decode_tok_s(batch: int = 1, ctx: int = 8192,
                                                    mistral7b_config)
 
     cfg = dataclasses.replace(mistral7b_config(), quantized=True,
-                              fused_proj=True, kv_quant=kv_quant)
+                              fused_proj=True, kv_quant=kv_quant,
+                              quant_bits=bits)
     model = Decoder(cfg)
     kv, hd = cfg.num_kv_heads, cfg.head_dim
     fill = ctx - n_steps - 1
@@ -639,21 +641,47 @@ def main():
                 ("decode_tok_s_8k_b1_kv_int8", dict(batch=1, kv_quant=True)),
                 ("decode_tok_s_8k_b8_kv_int8", dict(batch=8, kv_quant=True)),
                 ("decode_tok_s_8k_b8_kv_bf16", dict(batch=8, kv_quant=False)),
+                # int4 weights (3.6 GB) + int8 KV: the deepest capacity
+                # point — 8 GB persistent leaves headroom for 16k+ sessions
+                ("decode_tok_s_8k_b8_int4_kv_int8",
+                 dict(batch=8, kv_quant=True, bits=4)),
             ]:
                 # each geometry individually guarded: at batch 8 the bf16
                 # cache is 8.6 GB + 7.2 GB weights — if it OOMs, that IS the
                 # int8-KV capacity story, recorded as such per entry. Only a
-                # genuine RESOURCE_EXHAUSTED earns the OOM label; any other
-                # exception is a code bug and keeps its message (a shape
-                # error must not masquerade as a capacity result).
+                # genuine RESOURCE_EXHAUSTED earns the bare OOM label; the
+                # axon relay's compile helper dies with NO diagnostic on
+                # predicted-over-capacity programs ("tpu_compile_helper
+                # subprocess exit code 1"), so a compile failure at a
+                # geometry whose PERSISTENT bytes (int8 weights + cache +
+                # scales) provably exceed HBM is labeled OOM/capacity with
+                # the arithmetic attached; any other exception is a code
+                # bug and keeps its message (a shape error must not
+                # masquerade as a capacity result).
                 try:
                     extra[key_] = round(
                         _long_ctx_decode_tok_s(**kwargs), 2)
                 except Exception as e:
                     msg = f"{type(e).__name__}: {e}"
+                    ctx_, bsz = kwargs.get("ctx", 8192), kwargs["batch"]
+                    # k AND v: [32, B, ctx, 8, 128] each, bf16
+                    kv_bytes = 2 * 32 * bsz * ctx_ * 8 * 128 * 2
+                    kv_bytes = (kv_bytes // 2 + 2 * 32 * bsz * ctx_ * 8 * 4
+                                if kwargs["kv_quant"] else kv_bytes)
+                    w_bytes = (3_600_000_000
+                               if kwargs.get("bits", 8) == 4
+                               else 7_170_000_000)
+                    persistent = w_bytes + kv_bytes
+                    hbm = 15_750_000_000
                     if ("RESOURCE_EXHAUSTED" in str(e)
                             or "out of memory" in str(e).lower()):
                         extra[key_] = f"OOM/{type(e).__name__}"[:60]
+                    elif ("remote_compile" in str(e)
+                            and persistent > hbm):
+                        extra[key_] = (
+                            f"OOM/capacity ({persistent/1e9:.1f} GB "
+                            f"persistent > {hbm/1e9:.2f} GB HBM; relay "
+                            "compile helper reports no diagnostic)")
                     else:
                         extra[key_] = msg[:200]
         except Exception as e:

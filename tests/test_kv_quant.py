@@ -131,3 +131,42 @@ def test_cli_kv_int8_flag_through_build_engine():
     quant = engine_q.answer(emb, "what happens?", max_new_tokens=10,
                             do_sample=False)
     assert quant == plain
+
+
+def test_int4_weights_with_int8_kv_cache():
+    """The deepest serving point (bench decode_tok_s_8k_b8_int4_kv_int8):
+    int4 grouped weights AND the int8 KV cache in one config decode without
+    error and track the int8-weight/int8-KV path's tokens on a tiny model."""
+    from infinite_video_tpu.models.quantized import quantize_decoder_params
+
+    cfg = tiny_decoder_config(dtype=jnp.float32)
+    fp = Decoder(cfg)
+    ids0 = jnp.array([[1, 7, 42, 5]], jnp.int32)
+    fp_params = fp.init(jax.random.PRNGKey(0), input_ids=ids0)["params"]
+
+    def decode(qcfg, params, steps=6):
+        m = Decoder(qcfg)
+        max_len = ids0.shape[1] + steps + 1
+        cache = init_kv_cache(qcfg, 1, max_len)
+        logits, cache = m.apply(
+            {"params": params}, input_ids=ids0,
+            attention_mask=jnp.ones((1, max_len)), cache=cache)
+        tok = jnp.argmax(logits[:, -1], axis=-1)
+        toks = [tok]
+        for _ in range(steps):
+            logits, cache = m.apply(
+                {"params": params}, input_ids=tok[:, None],
+                attention_mask=jnp.ones((1, max_len)), cache=cache)
+            tok = jnp.argmax(logits[:, -1], axis=-1)
+            toks.append(tok)
+        return np.asarray(jnp.stack(toks))
+
+    qparams = quantize_decoder_params(fp_params, bits=4, group_size=32)
+    out = {}
+    for kvq in (False, True):
+        qcfg = dataclasses.replace(cfg, quantized=True, kv_quant=kvq,
+                                   quant_bits=4, quant_group=32)
+        out[kvq] = decode(qcfg, qparams)
+    # same int4 weights; only the KV representation differs — per-row int8
+    # KV drift must not flip the greedy path on a tiny model
+    np.testing.assert_array_equal(out[True], out[False])
