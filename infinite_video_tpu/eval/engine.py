@@ -226,19 +226,23 @@ class LLaMAVideoQA:
         left-pad to a common width, and decode together. Per-row prompt
         truncation matches answer() so batched and sequential runs see the
         same context."""
-        embs = []
+        embs, drafts = [], []
         for i, text in enumerate(input_texts):
             prompt = _LLAMA_SYSTEM + text + "###Assistant:"
-            e = self._embed_segments(prompt.split("<ImageHere>"),
-                                     [video_embs[i:i + 1]])
+            segs = prompt.split("<ImageHere>")
+            e = self._embed_segments(segs, [video_embs[i:i + 1]])
             begin = max(0, e.shape[1] + max_new_tokens - max_length)
             embs.append(e[:, begin:])
+            drafts.append(_spec_draft_ids(self, segs))
+        spec = int(getattr(self, "spec_tokens", 0))
         gcfg = GenerationConfig(max_new_tokens=max_new_tokens,
                                 do_sample=do_sample, temperature=temperature,
                                 top_p=top_p, eos_token_id=2, pad_token_id=2,
                                 stop_sequences=((835,), (2277, 29937)),
-                                pad_to_multiple=getattr(self, "pad_to_multiple", 0))
-        tokens = _generate_left_padded(self, embs, gcfg, rng)
+                                pad_to_multiple=getattr(self, "pad_to_multiple", 0),
+                                spec_tokens=spec)
+        tokens = _generate_left_padded(self, embs, gcfg, rng,
+                                       draft_ids=drafts if spec else None)
         return [_postprocess(self.tokenizer, tokens[i:i + 1], split="###",
                              role_tag="Assistant:")
                 for i in range(len(input_texts))]
@@ -450,19 +454,28 @@ def _answer_batch(engine, video_embs, questions, *, system="",
     """Serving-style batched QA: one generate() over left-padded prompts.
 
     video_embs: [B, Q, D] (stacked per-question video embeddings)."""
-    embs = []
+    embs, drafts = [], []
     for i, q in enumerate(questions):
         prompt = (f"{system}[INST] <Video><VideoHere></Video> [/INST] "
                   f"[INST] {q}{question_prompt} [/INST] {answer_prompt}")
-        e = _embed_segments_generic(engine, prompt.split("<VideoHere>"),
-                                    [video_embs[i:i + 1]])
+        segs = prompt.split("<VideoHere>")
+        e = _embed_segments_generic(engine, segs, [video_embs[i:i + 1]])
         embs.append(e)
+        drafts.append(_spec_draft_ids(engine, segs))
+    # batched ragged-commit speculation (runtime/generation.py): greedy
+    # batched eval answers are extractive ("Best option:(" quotes the
+    # prompt) — the workload where the b8 verify step pays (KERNELS.md
+    # §3c-batched); sampling configs fall back to the plain path inside
+    # generate()
+    spec = int(getattr(engine, "spec_tokens", 0))
     gcfg = GenerationConfig(max_new_tokens=max_new_tokens, do_sample=do_sample,
                             temperature=temperature, top_p=top_p,
                             eos_token_id=2, pad_token_id=2,
                             stop_sequences=((2,), (29871, 2)),
-                            pad_to_multiple=getattr(engine, "pad_to_multiple", 0))
-    tokens = _generate_left_padded(engine, embs, gcfg, rng)
+                            pad_to_multiple=getattr(engine, "pad_to_multiple", 0),
+                            spec_tokens=spec)
+    tokens = _generate_left_padded(engine, embs, gcfg, rng,
+                                   draft_ids=drafts if spec else None)
     outs = []
     for i in range(len(questions)):
         text = _postprocess(engine.tokenizer, tokens[i:i + 1], split="</s>")
@@ -470,11 +483,12 @@ def _answer_batch(engine, video_embs, questions, *, system="",
     return outs
 
 
-def _generate_left_padded(engine, embs, gcfg, rng):
+def _generate_left_padded(engine, embs, gcfg, rng, draft_ids=None):
     """One generate() over per-row prompt embeddings of different lengths:
     rows LEFT-pad (zero embeds + mask) to a common width so they share cache
     slots; per-row RoPE offsets keep positions correct
-    (models/decoder.py position_offset)."""
+    (models/decoder.py position_offset). `draft_ids`: optional per-row
+    prompt-lookup draft contexts for batched speculative decoding."""
     width = max(e.shape[1] for e in embs)
     batch, mask = [], []
     for e in embs:  # host-side left padding (embs are numpy already)
@@ -486,7 +500,7 @@ def _generate_left_padded(engine, embs, gcfg, rng):
     return generate(engine.decoder, engine.dec_params, gcfg,
                     prompt_embeds=jnp.asarray(np.concatenate(batch, 0)),
                     prompt_mask=jnp.asarray(np.concatenate(mask, 0)),
-                    rng=rng)
+                    rng=rng, draft_ids=draft_ids)
 
 
 def _spec_draft_ids(engine, segments):

@@ -175,6 +175,14 @@ def test_answer_batch_matches_single():
     batch = eng.answer_batch(jnp.concatenate([emb1, emb2]), [q1, q2],
                              max_new_tokens=5)
     assert batch == [s1, s2]
+    # batched speculative decoding (--spec-decode with batched questions):
+    # per-row prompt-lookup drafts through the ragged-commit core must not
+    # change greedy outputs
+    eng.spec_tokens = 4
+    spec_batch = eng.answer_batch(jnp.concatenate([emb1, emb2]), [q1, q2],
+                                  max_new_tokens=5)
+    assert spec_batch == batch
+    eng.spec_tokens = 0
 
 
 @pytest.mark.skipif(not os.path.isdir("/root/reference"),
