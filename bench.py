@@ -645,6 +645,16 @@ def main():
                 # point — 8 GB persistent leaves headroom for 16k+ sessions
                 ("decode_tok_s_8k_b8_int4_kv_int8",
                  dict(batch=8, kv_quant=True, bits=4)),
+                # ...and the session length that headroom buys. Batch is 4,
+                # not 8: the stacked [32, B, ctx, 8, 128] cache tensor hits
+                # a measured per-tensor 2^31-element compile ceiling on this
+                # backend — 8k b8 and 16k b4 are EXACTLY 2^31 and compile;
+                # 12k/16k b8 (1.5x/2x) fail in the relay's compile helper
+                # with no diagnostic despite fitting HBM (10.8/13.3 GB
+                # persistent). Sessions past the ceiling need a per-layer
+                # cache layout (roadmap).
+                ("decode_tok_s_16k_b4_int4_kv_int8",
+                 dict(batch=4, ctx=16384, kv_quant=True, bits=4)),
             ]:
                 # each geometry individually guarded: at batch 8 the bf16
                 # cache is 8.6 GB + 7.2 GB weights — if it OOMs, that IS the
