@@ -444,21 +444,36 @@ def _long_ctx_decode_tok_s(batch: int = 1, ctx: int = 8192,
 
     @jax.jit
     def build_cache(seed):
+        # per-layer planes (models/decoder.py KVCache): keyed per layer so
+        # contents differ across planes; no stacked tensor is ever built
+        # (the stacked cache hit a 2^31-element compile ceiling past 8k*b8)
         key = jax.random.PRNGKey(seed)
-        kk, kv_, ks1, ks2 = jax.random.split(key, 4)
-        shape = (cfg.num_layers, batch, ctx, kv, hd)
+        shape = (batch, ctx, kv, hd)
+        n = cfg.num_layers
+
+        def keys(tag):
+            return [jax.random.fold_in(key, 1000 * tag + i)
+                    for i in range(n)]
+
         if kv_quant:
             return KVCache(
-                k=jax.random.randint(kk, shape, -127, 128, jnp.int8),
-                v=jax.random.randint(kv_, shape, -127, 128, jnp.int8),
+                k=tuple(jax.random.randint(k_, shape, -127, 128, jnp.int8)
+                        for k_ in keys(1)),
+                v=tuple(jax.random.randint(k_, shape, -127, 128, jnp.int8)
+                        for k_ in keys(2)),
                 pos=jnp.asarray(fill, jnp.int32),
-                k_scale=jax.random.uniform(ks1, shape[:-1], jnp.float32,
-                                           0.005, 0.02),
-                v_scale=jax.random.uniform(ks2, shape[:-1], jnp.float32,
-                                           0.005, 0.02))
-        return KVCache(k=jax.random.normal(kk, shape, cfg.dtype),
-                       v=jax.random.normal(kv_, shape, cfg.dtype),
-                       pos=jnp.asarray(fill, jnp.int32))
+                k_scale=tuple(jax.random.uniform(k_, shape[:-1], jnp.float32,
+                                                 0.005, 0.02)
+                              for k_ in keys(3)),
+                v_scale=tuple(jax.random.uniform(k_, shape[:-1], jnp.float32,
+                                                 0.005, 0.02)
+                              for k_ in keys(4)))
+        return KVCache(
+            k=tuple(jax.random.normal(k_, shape, cfg.dtype)
+                    for k_ in keys(1)),
+            v=tuple(jax.random.normal(k_, shape, cfg.dtype)
+                    for k_ in keys(2)),
+            pos=jnp.asarray(fill, jnp.int32))
 
     # The cache is built in its OWN jit call and donated into the timed step:
     # fusing build+scan into one executable made XLA materialize per-layer
@@ -646,13 +661,11 @@ def main():
                 ("decode_tok_s_8k_b8_int4_kv_int8",
                  dict(batch=8, kv_quant=True, bits=4)),
                 # ...and the session length that headroom buys. Batch is 4,
-                # not 8: the stacked [32, B, ctx, 8, 128] cache tensor hits
-                # a measured per-tensor 2^31-element compile ceiling on this
-                # backend — 8k b8 and 16k b4 are EXACTLY 2^31 and compile;
-                # 12k/16k b8 (1.5x/2x) fail in the relay's compile helper
-                # with no diagnostic despite fitting HBM (10.8/13.3 GB
-                # persistent). Sessions past the ceiling need a per-layer
-                # cache layout (roadmap).
+                # not 8: decode executables with batch*ctx > 2^16 fail in
+                # the relay's AOT compile helper with no diagnostic —
+                # independent of cache layout, bytes, or HBM capacity
+                # (bisection table in docs/KERNELS.md §3d). 8k*b8 and
+                # 16k*b4 sit exactly at the measured boundary.
                 ("decode_tok_s_16k_b4_int4_kv_int8",
                  dict(batch=4, ctx=16384, kv_quant=True, bits=4)),
             ]:

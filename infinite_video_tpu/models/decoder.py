@@ -119,28 +119,44 @@ def tiny_decoder_config(**kw) -> DecoderConfig:
 
 @struct.dataclass
 class KVCache:
-    k: jnp.ndarray  # [layers, B, max_len, kv_heads, head_dim]
-    v: jnp.ndarray
+    # Per-layer PLANES: tuples of [B, max_len, kv_heads, head_dim], one per
+    # decoder layer. Each plane is its own jit/loop-carry leaf, so (a) XLA
+    # provably aliases every plane in place through the decode loop
+    # (donation and while-loop carry both work leaf-wise — a stacked
+    # [L, ...] array with slice/update patterns kept two cache copies
+    # alive, round-5 finding), and (b) no tensor ever approaches the
+    # measured per-tensor 2^31-element compile ceiling of this backend
+    # (docs/KERNELS.md §3d) — 32k-token batch-8 sessions are a plane of
+    # 2^26 elements, not a stack of 2^32.
+    k: Tuple[jnp.ndarray, ...]
+    v: Tuple[jnp.ndarray, ...]
     pos: jnp.ndarray  # i32 scalar — number of filled positions
     # int8 mode only (DecoderConfig.kv_quant): per-row symmetric scales,
-    # [layers, B, max_len, kv_heads] fp32. None for fp caches.
-    k_scale: Optional[jnp.ndarray] = None
-    v_scale: Optional[jnp.ndarray] = None
+    # per-layer [B, max_len, kv_heads] fp32 planes. None for fp caches.
+    k_scale: Optional[Tuple[jnp.ndarray, ...]] = None
+    v_scale: Optional[Tuple[jnp.ndarray, ...]] = None
+
+    @property
+    def max_len(self) -> int:
+        return self.k[0].shape[1]
 
 
 def init_kv_cache(cfg: DecoderConfig, batch: int, max_len: int,
                   dtype=None) -> KVCache:
-    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    n = cfg.num_layers
+    shape = (batch, max_len, cfg.num_kv_heads, cfg.head_dim)
     # getattr: duck-typed configs (models/phi.py) predate the kv_quant field
     if getattr(cfg, "kv_quant", False):
         sshape = shape[:-1]
-        return KVCache(k=jnp.zeros(shape, jnp.int8),
-                       v=jnp.zeros(shape, jnp.int8),
-                       pos=jnp.zeros((), jnp.int32),
-                       k_scale=jnp.zeros(sshape, jnp.float32),
-                       v_scale=jnp.zeros(sshape, jnp.float32))
+        return KVCache(
+            k=tuple(jnp.zeros(shape, jnp.int8) for _ in range(n)),
+            v=tuple(jnp.zeros(shape, jnp.int8) for _ in range(n)),
+            pos=jnp.zeros((), jnp.int32),
+            k_scale=tuple(jnp.zeros(sshape, jnp.float32) for _ in range(n)),
+            v_scale=tuple(jnp.zeros(sshape, jnp.float32) for _ in range(n)))
     dtype = dtype or cfg.dtype
-    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+    return KVCache(k=tuple(jnp.zeros(shape, dtype) for _ in range(n)),
+                   v=tuple(jnp.zeros(shape, dtype) for _ in range(n)),
                    pos=jnp.zeros((), jnp.int32))
 
 
@@ -287,7 +303,6 @@ def _rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
 
 class DecoderLayer(nn.Module):
     cfg: DecoderConfig
-    layer_idx: int = 0
 
     @nn.compact
     def __call__(
@@ -295,25 +310,23 @@ class DecoderLayer(nn.Module):
         x: jnp.ndarray,                      # [B, S, D]
         positions: jnp.ndarray,              # [S]
         mask_bias: jnp.ndarray,              # [1|B, 1, S, K] additive fp32
-        cache_k: Optional[jnp.ndarray],      # FULL [L, B, max_len, kv, hd]
-        cache_v: Optional[jnp.ndarray],      # (layer_idx selects this
-        cache_pos: Optional[jnp.ndarray],    #  layer's plane) | None
-        cache_k_scale: Optional[jnp.ndarray] = None,  # [L, B, max_len, kv]
+        cache_k: Optional[jnp.ndarray],      # this layer's PLANE
+        cache_v: Optional[jnp.ndarray],      #   [B, max_len, kv, hd] | None
+        cache_pos: Optional[jnp.ndarray],
+        cache_k_scale: Optional[jnp.ndarray] = None,  # [B, max_len, kv]
         cache_v_scale: Optional[jnp.ndarray] = None,
     ):
-        # The layer reads/writes ITS PLANE of the full stacked cache (static
-        # leading index — a contiguous view, no copy) and returns the full
-        # buffers. The previous design sliced per-layer arrays out in
-        # Decoder.__call__ and jnp.stack'ed the updates back, which defeated
-        # XLA's in-place aliasing of the decode-loop carry: buffer assignment
-        # kept TWO copies of the whole cache alive per step (measured round
-        # 5: 8k b1 lanes at ~55-70% of the weight-stream roofline, and the
-        # 8k batch-8 int8 lane failed compile at 7.2 GB weights + 2x4.4 GB
-        # cache). Threading the full buffers through a chain of
-        # dynamic_update_slice ops keeps the carry update in place.
+        # Each layer owns ONE cache plane (a KVCache tuple element), updated
+        # with dynamic_update_slice and returned — the plane is an
+        # independent jit/loop-carry leaf, so XLA aliases it in place
+        # through the decode loop. An earlier stacked-[L, ...] design
+        # (slice out per-layer arrays, jnp.stack back) defeated that
+        # aliasing: buffer assignment kept TWO copies of the whole cache
+        # alive per step (measured round 5: 8k b1 lanes at ~55-70% of the
+        # weight-stream roofline, and the 8k batch-8 int8 lane failed
+        # compile at 7.2 GB weights + 2x4.4 GB cache).
         cfg = self.cfg
         h, kv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-        li = self.layer_idx
 
         dense = _dense_cls(cfg)
         res = x
@@ -342,28 +355,28 @@ class DecoderLayer(nn.Module):
             kq, ks = _kv_quantize(k)
             vq, vs = _kv_quantize(v)
             cache_k = jax.lax.dynamic_update_slice(
-                cache_k, kq[None], (li, 0, cache_pos, 0, 0))
+                cache_k, kq, (0, cache_pos, 0, 0))
             cache_v = jax.lax.dynamic_update_slice(
-                cache_v, vq[None], (li, 0, cache_pos, 0, 0))
+                cache_v, vq, (0, cache_pos, 0, 0))
             cache_k_scale = jax.lax.dynamic_update_slice(
-                cache_k_scale, ks[None], (li, 0, cache_pos, 0))
+                cache_k_scale, ks, (0, cache_pos, 0))
             cache_v_scale = jax.lax.dynamic_update_slice(
-                cache_v_scale, vs[None], (li, 0, cache_pos, 0))
+                cache_v_scale, vs, (0, cache_pos, 0))
             if mask_bias is None:
                 # fresh-cache flash prefill never reads the buffer — the
                 # in-flight k/v stay exact (see KVCache note).
                 k_att, v_att = k, v
             else:
-                k_att, v_att = cache_k[li], cache_v[li]
-                k_rowscale = cache_k_scale[li]
-                v_rowscale = cache_v_scale[li]
+                k_att, v_att = cache_k, cache_v
+                k_rowscale = cache_k_scale
+                v_rowscale = cache_v_scale
                 quant_read = True
         elif cache_k is not None:
             # Write the new keys/values at cache_pos, attend over the buffer.
             cache_k = jax.lax.dynamic_update_slice(
-                cache_k, k.astype(cache_k.dtype)[None], (li, 0, cache_pos, 0, 0))
+                cache_k, k.astype(cache_k.dtype), (0, cache_pos, 0, 0))
             cache_v = jax.lax.dynamic_update_slice(
-                cache_v, v.astype(cache_v.dtype)[None], (li, 0, cache_pos, 0, 0))
+                cache_v, v.astype(cache_v.dtype), (0, cache_pos, 0, 0))
             if mask_bias is None:
                 # flash prefill on a FRESH cache: there are no valid entries
                 # before cache_pos, so attention reduces to causal
@@ -371,7 +384,7 @@ class DecoderLayer(nn.Module):
                 # applies and the (max_len-wide) buffer is never scanned.
                 k_att, v_att = k, v
             else:
-                k_att, v_att = cache_k[li], cache_v[li]
+                k_att, v_att = cache_k, cache_v
         else:
             k_att, v_att = k, v
 
@@ -476,7 +489,7 @@ class Decoder(nn.Module):
 
         if cache is not None:
             positions = cache.pos + jnp.arange(s)
-            key_pos = jnp.arange(cache.k.shape[2])
+            key_pos = jnp.arange(cache.max_len)
         else:
             positions = jnp.arange(s)
             key_pos = jnp.arange(s)
@@ -512,24 +525,31 @@ class Decoder(nn.Module):
         layer_cls = nn.remat(DecoderLayer) if (cfg.remat and cache is None) \
             else DecoderLayer
         quant_kv = cache is not None and cache.k_scale is not None
-        # the FULL stacked buffers thread through the layers as a chain of
-        # static-index dynamic_update_slice ops (see DecoderLayer) — never
-        # sliced apart and restacked, so the decode loop updates the cache
-        # carry in place
-        ck = cache.k if cache is not None else None
-        cv = cache.v if cache is not None else None
+        # per-layer cache PLANES (KVCache tuples): each layer's plane flows
+        # input -> dynamic_update_slice -> output as its own carry leaf, so
+        # the decode loop updates the cache strictly in place (see KVCache)
         cp = cache.pos if cache is not None else None
-        cks = cache.k_scale if quant_kv else None
-        cvs = cache.v_scale if quant_kv else None
+        new_k, new_v, new_ks, new_vs = [], [], [], []
         for i in range(cfg.num_layers):
-            x, ck, cv, cks, cvs = layer_cls(cfg, i, name=f"layer_{i}")(
+            ck = cache.k[i] if cache is not None else None
+            cv = cache.v[i] if cache is not None else None
+            cks = cache.k_scale[i] if quant_kv else None
+            cvs = cache.v_scale[i] if quant_kv else None
+            x, ck, cv, cks, cvs = layer_cls(cfg, name=f"layer_{i}")(
                 x, rope_positions, bias, ck, cv, cp, cks, cvs)
+            if cache is not None:
+                new_k.append(ck)
+                new_v.append(cv)
+                new_ks.append(cks)
+                new_vs.append(cvs)
 
         x = RMSNorm(cfg.rms_eps, name="final_ln")(x)
         logits = _dense_cls(cfg)(cfg.vocab_size, name="lm_head")(x)
         logits = logits.astype(jnp.float32)
 
         if cache is not None:
-            cache = KVCache(k=ck, v=cv, pos=cache.pos + s,
-                            k_scale=cks, v_scale=cvs)
+            cache = KVCache(k=tuple(new_k), v=tuple(new_v),
+                            pos=cache.pos + s,
+                            k_scale=tuple(new_ks) if quant_kv else None,
+                            v_scale=tuple(new_vs) if quant_kv else None)
         return logits, cache

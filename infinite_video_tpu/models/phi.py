@@ -79,18 +79,15 @@ def _partial_rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float,
 
 class PhiLayer(nn.Module):
     cfg: PhiConfig
-    layer_idx: int = 0
 
     @nn.compact
     def __call__(self, x, positions, mask_bias, cache_k, cache_v, cache_pos):
-        # cache_k/cache_v are the FULL stacked [L, B, max_len, kv, hd]
-        # buffers; the layer writes its plane with a static-index
-        # dynamic_update_slice and reads it back as a contiguous view — the
-        # same in-place-aliasing design as models/decoder.py DecoderLayer
-        # (slice-out + jnp.stack defeated the decode-loop carry aliasing).
+        # cache_k/cache_v are this layer's [B, max_len, kv, hd] PLANES of
+        # the per-layer KVCache tuples — independent carry leaves that XLA
+        # aliases in place through the decode loop (same design as
+        # models/decoder.py DecoderLayer).
         cfg = self.cfg
         h, kv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-        li = self.layer_idx
         y = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                          name="input_ln")(x)
 
@@ -106,12 +103,10 @@ class PhiLayer(nn.Module):
 
         if cache_k is not None:
             cache_k = jax.lax.dynamic_update_slice(
-                cache_k, k.astype(cache_k.dtype)[None],
-                (li, 0, cache_pos, 0, 0))
+                cache_k, k.astype(cache_k.dtype), (0, cache_pos, 0, 0))
             cache_v = jax.lax.dynamic_update_slice(
-                cache_v, v.astype(cache_v.dtype)[None],
-                (li, 0, cache_pos, 0, 0))
-            k_all, v_all = cache_k[li], cache_v[li]
+                cache_v, v.astype(cache_v.dtype), (0, cache_pos, 0, 0))
+            k_all, v_all = cache_k, cache_v
         else:
             k_all, v_all = k, v
         # Grouped-query attention on the un-expanded kv buffer (rep == 1 is
@@ -152,7 +147,7 @@ class PhiDecoder(nn.Module):
 
         if cache is not None:
             positions = cache.pos + jnp.arange(s)
-            key_pos = jnp.arange(cache.k.shape[2])
+            key_pos = jnp.arange(cache.max_len)
         else:
             positions = jnp.arange(s)
             key_pos = jnp.arange(s)
@@ -162,17 +157,21 @@ class PhiDecoder(nn.Module):
             bias = bias + (1.0 - attention_mask[:, None, None, :]
                            .astype(jnp.float32)) * -1e9
 
-        ck = cache.k if cache is not None else None
-        cv = cache.v if cache is not None else None
         cp = cache.pos if cache is not None else None
+        new_k, new_v = [], []
         for i in range(cfg.num_layers):
-            x, ck, cv = PhiLayer(cfg, i, name=f"layer_{i}")(x, positions,
-                                                            bias, ck, cv, cp)
+            ck = cache.k[i] if cache is not None else None
+            cv = cache.v[i] if cache is not None else None
+            x, ck, cv = PhiLayer(cfg, name=f"layer_{i}")(x, positions,
+                                                         bias, ck, cv, cp)
+            if cache is not None:
+                new_k.append(ck)
+                new_v.append(cv)
 
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                          name="final_ln")(x)
         logits = nn.Dense(cfg.vocab_size, dtype=cfg.dtype, name="lm_head")(
             x.astype(cfg.dtype)).astype(jnp.float32)
         if cache is not None:
-            cache = KVCache(k=ck, v=cv, pos=cache.pos + s)
+            cache = KVCache(k=tuple(new_k), v=tuple(new_v), pos=cache.pos + s)
         return logits, cache

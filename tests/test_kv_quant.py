@@ -31,10 +31,11 @@ def test_int8_cache_memory_halves():
     qcfg = dataclasses.replace(cfg, kv_quant=True)
     full = init_kv_cache(cfg, batch=2, max_len=64)
     quant = init_kv_cache(qcfg, batch=2, max_len=64)
-    assert quant.k.dtype == jnp.int8 and quant.k_scale is not None
-    fp_bytes = full.k.nbytes + full.v.nbytes
-    q_bytes = (quant.k.nbytes + quant.v.nbytes
-               + quant.k_scale.nbytes + quant.v_scale.nbytes)
+    assert quant.k[0].dtype == jnp.int8 and quant.k_scale is not None
+    nbytes = lambda planes: sum(p.nbytes for p in planes)
+    fp_bytes = nbytes(full.k) + nbytes(full.v)
+    q_bytes = (nbytes(quant.k) + nbytes(quant.v)
+               + nbytes(quant.k_scale) + nbytes(quant.v_scale))
     assert q_bytes < 0.6 * fp_bytes
     # pytree plumbing used by generation/spec-decode: pos rewind keeps scales
     rewound = quant.replace(pos=jnp.int32(3))
@@ -55,13 +56,13 @@ def test_kv_quant_decode_matches_fp_cache():
     def decode(m, c, steps=8):
         logits, cache = m.apply(
             {"params": params}, input_ids=ids0,
-            attention_mask=jnp.ones((1, c.k.shape[2])), cache=c)
+            attention_mask=jnp.ones((1, c.max_len)), cache=c)
         tok = jnp.argmax(logits[:, -1], axis=-1)
         toks, logs = [tok], [logits[:, -1]]
         for _ in range(steps):
             logits, cache = m.apply(
                 {"params": params}, input_ids=tok[:, None],
-                attention_mask=jnp.ones((1, c.k.shape[2])), cache=cache)
+                attention_mask=jnp.ones((1, c.max_len)), cache=cache)
             tok = jnp.argmax(logits[:, -1], axis=-1)
             toks.append(tok)
             logs.append(logits[:, -1])
@@ -89,13 +90,14 @@ def test_kv_quant_flash_prefill_path():
     lq, cq = Decoder(qcfg).apply({"params": params}, input_ids=ids0,
                                  cache=init_kv_cache(qcfg, 1, 12))
     np.testing.assert_array_equal(np.asarray(lq), np.asarray(lf))
-    assert cq.k.dtype == jnp.int8
+    assert cq.k[0].dtype == jnp.int8
     assert int(cq.pos) == int(cf.pos) == ids0.shape[1]
     # the written rows dequantize back to the fp rows within the step bound
-    back = _kv_dequantize(cq.k[:, :, :5], cq.k_scale[:, :, :5])
+    # (layer-0 plane; KVCache stores per-layer tuples)
+    back = _kv_dequantize(cq.k[0][:, :5], cq.k_scale[0][:, :5])
     np.testing.assert_allclose(np.asarray(back),
-                               np.asarray(cf.k[:, :, :5], np.float32),
-                               atol=np.asarray(cq.k_scale).max() / 2 + 1e-6)
+                               np.asarray(cf.k[0][:, :5], np.float32),
+                               atol=np.asarray(cq.k_scale[0]).max() / 2 + 1e-6)
 
 
 def test_cli_kv_int8_flag_through_build_engine():
