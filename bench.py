@@ -445,8 +445,8 @@ def _long_ctx_decode_tok_s(batch: int = 1, ctx: int = 8192,
     @jax.jit
     def build_cache(seed):
         # per-layer planes (models/decoder.py KVCache): keyed per layer so
-        # contents differ across planes; no stacked tensor is ever built
-        # (the stacked cache hit a 2^31-element compile ceiling past 8k*b8)
+        # contents differ across planes; planes are independent jit leaves,
+        # so donation aliases each through the decode loop
         key = jax.random.PRNGKey(seed)
         shape = (batch, ctx, kv, hd)
         n = cfg.num_layers
@@ -475,15 +475,15 @@ def _long_ctx_decode_tok_s(batch: int = 1, ctx: int = 8192,
                     for k_ in keys(2)),
             pos=jnp.asarray(fill, jnp.int32))
 
-    # The cache is built in its OWN jit call and donated into the timed step:
-    # fusing build+scan into one executable made XLA materialize per-layer
-    # HLO-temp copies of the full cache around the in-loop dynamic-update-
-    # slices (~64 MB x 4 x 32 layers), blowing HBM at batch 8 (16.4 G used of
-    # 15.75 G, compile-time OOM). Donation lets the scan update the cache in
-    # place — but ONLY if the final cache is also an output (XLA aliases
-    # donated inputs to outputs; a scalar-only return makes the donation
-    # unusable and the loop copies the whole cache). The per-call build cost
-    # is length-independent so it cancels in the two-length differencing.
+    # The cache is built in its OWN jit call and donated into the timed step
+    # (observed in round 4 on the then-stacked layout: fusing build+scan made
+    # XLA materialize per-layer HLO temps that blew HBM at batch 8; the
+    # separation also keeps the timed executable pure decode). Donation
+    # aliases each cache plane in place — but ONLY if the final cache is
+    # also an output (XLA aliases donated inputs to outputs; a scalar-only
+    # return makes the donation unusable and the loop copies the cache).
+    # The per-call build cost is length-independent so it cancels in the
+    # two-length differencing.
     @partial(jax.jit, static_argnames="n", donate_argnums=(1,))
     def run(params, cache, n):
         mask = jnp.zeros((batch, ctx)).at[:, :fill].set(1.0)
