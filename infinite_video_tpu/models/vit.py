@@ -69,10 +69,11 @@ class ViTConfig:
 
     def __post_init__(self):
         if self.attn_impl not in ("auto", "xla", "pallas", "pallas_direct",
-                                  "pallas_packed", "flash"):
+                                  "pallas_packed", "pallas_layer", "flash"):
             raise ValueError("ViTConfig.attn_impl must be 'auto', 'xla', "
-                             "'pallas', 'pallas_direct', 'pallas_packed' or "
-                             f"'flash', got {self.attn_impl!r}")
+                             "'pallas', 'pallas_direct', 'pallas_packed', "
+                             f"'pallas_layer' or 'flash', got "
+                             f"{self.attn_impl!r}")
 
     @property
     def gelu_approximate(self) -> bool:
@@ -155,6 +156,19 @@ def interpolated_sinusoid_table(n_position: int, d_hid: int, cur_frame: int,
     return sinusoid_table(n_position, d_hid)
 
 
+class _QKVKernel(nn.Module):
+    """Parameter shim: declares a Dense-layout kernel [in, features] at the
+    SAME param path as `nn.Dense(name="qkv")` so the fused layer kernel
+    (impl="pallas_layer") shares checkpoints with every other impl."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int) -> jnp.ndarray:
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (in_features, self.features))
+
+
 class ViTAttention(nn.Module):
     """Fused-qkv attention with q/v-only bias (eva_vit.py:62-146, vit.py:57-101)."""
 
@@ -164,6 +178,38 @@ class ViTAttention(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cfg = self.cfg
         d = cfg.embed_dim
+        impl0 = cfg.attn_impl
+        if impl0 == "auto":
+            from infinite_video_tpu.ops.pallas.vit_attention import fits_vmem
+
+            # layer-fused entry wherever the whole-row family applies: it
+            # internally falls back packed -> qkv as VMEM budgets require,
+            # so one route covers EVA-g (layer kernel, 275.6 f/s round-5
+            # A/B) and UMT 4/8-frame (packed/qkv fallback, -41% vs XLA at
+            # S=1568); S>VMEM geometries take the flash kernel below.
+            if (jax.default_backend() == "tpu"
+                    and fits_vmem(x.shape[1], cfg.head_dim, x.dtype)):
+                impl0 = "pallas_layer"
+        if impl0 == "pallas_layer":
+            # fused qkv-GEMM + attention in ONE kernel: the projection never
+            # round-trips HBM and there is no custom-call boundary for XLA
+            # to stall on (docs/KERNELS.md §5 post-packed attribution). The
+            # kernel param is declared at the nn.Dense(name="qkv") path, so
+            # checkpoints are interchangeable with the other impls.
+            from infinite_video_tpu.ops.pallas.vit_attention import (
+                vit_attention_layer)
+
+            w = _QKVKernel(3 * d, name="qkv")(x.shape[-1])
+            q_bias = self.param("q_bias", nn.initializers.zeros, (d,))
+            v_bias = self.param("v_bias", nn.initializers.zeros, (d,))
+            bias = jnp.concatenate([q_bias, jnp.zeros_like(q_bias), v_bias])
+            out = vit_attention_layer(x.astype(cfg.dtype),
+                                      w.astype(cfg.dtype),
+                                      bias.astype(jnp.float32),
+                                      heads=cfg.num_heads,
+                                      sm_scale=cfg.head_dim ** -0.5,
+                                      interpret=cfg.attn_interpret)
+            return nn.Dense(d, dtype=cfg.dtype, name="proj")(out)
         qkv = nn.Dense(3 * d, use_bias=False, dtype=cfg.dtype, name="qkv")(x)
         q_bias = self.param("q_bias", nn.initializers.zeros, (d,))
         v_bias = self.param("v_bias", nn.initializers.zeros, (d,))
@@ -172,25 +218,15 @@ class ViTAttention(nn.Module):
 
         b, s, _ = x.shape
         qkv = qkv.reshape(b, s, 3, cfg.num_heads, cfg.head_dim)
-        impl = cfg.attn_impl
+        impl = impl0
         if impl == "auto":
-            from infinite_video_tpu.ops.pallas.vit_attention import fits_vmem
-
-            if jax.default_backend() != "tpu":
-                impl = "xla"
-            elif fits_vmem(s, cfg.head_dim, x.dtype):
-                # packed-output entry: zero XLA layout ops on either side;
-                # round-5 A/B (tools/ab_vit_attention.py): 267.5 f/s full
-                # EVA-g vs 252.1 qkv-entry vs 237.5 XLA. Falls back to the
-                # qkv entry internally when the all-heads block exceeds VMEM
-                # (e.g. UMT 8-frame S=1568).
-                impl = "pallas_packed"
-            else:
-                # long joint space-time sequences (16-frame UMT, S=3136):
-                # whole-row scores exceed VMEM; the non-causal flash kernel
-                # wins the A/B vs the XLA einsums at this geometry
-                # (tools/ab_umt_attention.py, docs/KERNELS.md §6)
-                impl = "flash"
+            # TPU + fits_vmem was already taken by the layer-fused route
+            # above; what remains is the CPU/parity path and the long joint
+            # space-time sequences (16-frame UMT, S=3136) whose whole-row
+            # scores exceed VMEM — the non-causal flash kernel wins that
+            # A/B vs the XLA einsums (tools/ab_umt_attention.py,
+            # docs/KERNELS.md §6)
+            impl = "flash" if jax.default_backend() == "tpu" else "xla"
         if impl == "flash":
             from infinite_video_tpu.ops.pallas.flash_attention import (
                 flash_attention)

@@ -32,9 +32,10 @@ import math
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["vit_attention", "vit_attention_qkv", "vit_attention_qkv_direct",
-           "vit_attention_qkv_packed", "fits_vmem"]
+           "vit_attention_qkv_packed", "vit_attention_layer", "fits_vmem"]
 
 _NEG_INF = -1e30
 
@@ -354,3 +355,109 @@ def vit_attention_qkv_direct(qkv: jnp.ndarray, *,
         interpret=interpret,
     )(qkv, qkv, qkv)
     return out.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+def _kernel_layer(x_ref, w_ref, b_ref, o_ref, qkv_scr, *, sm_scale: float,
+                  heads: int, head_dim: int, n_wblocks: int):
+    """Fused qkv-GEMM + whole-row attention, one batch element per grid row.
+
+    Grid (B, n_wblocks), w innermost: each step contracts the full [S, D]
+    activation block against one [D, bn] column block of the fused qkv
+    weight, accumulating fp32 into the persistent [S, 3·H·hd] scratch; the
+    LAST w step adds the bias row, then runs the per-head (dot, softmax,
+    dot) chains straight out of the scratch and stores the packed
+    [S, H·hd] output — the qkv projection never round-trips HBM and there
+    is no custom-call boundary between the GEMM and the attention."""
+    j = pl.program_id(1)
+    bn = w_ref.shape[1]
+
+    @pl.when(j == 0)
+    def _init():
+        qkv_scr[:] = jnp.zeros_like(qkv_scr)
+
+    x = x_ref[0]                                       # [S, D]
+    acc = jax.lax.dot_general(
+        x, w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [S, bn]
+    qkv_scr[:, pl.ds(j * bn, bn)] = acc
+
+    @pl.when(j == n_wblocks - 1)
+    def _attend():
+        qkv = qkv_scr[:] + b_ref[0].astype(jnp.float32)  # [S, 3·H·hd]
+        outs = []
+        for i in range(heads):
+            q = qkv[:, i * head_dim:(i + 1) * head_dim]
+            k = qkv[:, (heads + i) * head_dim:(heads + i + 1) * head_dim]
+            v = qkv[:, (2 * heads + i) * head_dim:
+                    (2 * heads + i + 1) * head_dim]
+            s = jax.lax.dot_general(
+                q * jnp.float32(sm_scale), k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            r = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(o_ref.dtype), v.astype(o_ref.dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            outs.append((o * r).astype(o_ref.dtype))
+        o_ref[0] = outs[0] if heads == 1 else jnp.concatenate(outs, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "sm_scale", "block_n",
+                                             "interpret"))
+def vit_attention_layer(x: jnp.ndarray, w_qkv: jnp.ndarray,
+                        b_qkv: jnp.ndarray, *, heads: int,
+                        sm_scale: float | None = None, block_n: int = 528,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Fused layer entry: x [B, S, D] (post-LN), w_qkv [D, 3·H·hd],
+    b_qkv [3·H·hd] -> packed attention output [B, S, H·hd].
+
+    Removes the last attributed in-model attention cost (docs/KERNELS.md
+    §5): the custom-call boundary between the qkv Dense and the attention
+    kernel, across which XLA cannot software-pipeline. Weight columns
+    stream per grid step (the weight matrix is re-read once per batch
+    element — ~12 MB · B per chunk step, noise at 819 GB/s); the qkv
+    activations live only in VMEM scratch."""
+    b, s, d = x.shape
+    three_hd = w_qkv.shape[1]
+    head_dim = three_hd // (3 * heads)
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(head_dim)
+    # VMEM budget: fp32 qkv scratch + ~2 live fp32 score tiles + x/out/w
+    # blocks. Geometries past it (UMT 4/8-frame joint attention — the
+    # scratch is S·3·H·hd fp32) fall back to the packed whole-row entry on
+    # an XLA-computed projection, which has its own budget ladder.
+    s_p = -(-s // 16) * 16
+    live = (s_p * three_hd * 4 + 2 * s_p * s_p * 4
+            + s_p * (d + 2 * heads * head_dim) * jnp.dtype(x.dtype).itemsize)
+    if live > 12 * 1024 * 1024:
+        qkv = (jnp.dot(x, w_qkv.astype(x.dtype))
+               + b_qkv.astype(x.dtype)).reshape(b, s, 3, heads, head_dim)
+        return vit_attention_qkv_packed(qkv, sm_scale=sm_scale,
+                                        interpret=interpret)
+    # Mosaic: the w block's trailing dim must be a 128-multiple (or the full
+    # width); pick the largest 128-multiple divisor of 3·H·hd at or under
+    # the request, else take the whole matrix in one block (small models)
+    cands = [n for n in range(128, min(block_n, three_hd) + 1, 128)
+             if three_hd % n == 0]
+    block_n = max(cands) if cands else three_hd
+    n_wblocks = three_hd // block_n
+
+    kernel = functools.partial(_kernel_layer, sm_scale=sm_scale, heads=heads,
+                               head_dim=head_dim, n_wblocks=n_wblocks)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_wblocks),
+        in_specs=[
+            pl.BlockSpec((1, s, d), lambda bi, j: (bi, 0, 0)),
+            pl.BlockSpec((d, block_n), lambda bi, j: (0, j)),
+            pl.BlockSpec((1, three_hd), lambda bi, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, s, heads * head_dim),
+                               lambda bi, j: (bi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, heads * head_dim), x.dtype),
+        scratch_shapes=[pltpu.VMEM((s, three_hd), jnp.float32)],
+        interpret=interpret,
+    )(x, w_qkv, b_qkv[None])
+    return out

@@ -113,6 +113,47 @@ def test_vit_attention_qkv_packed_matches_xla(shape):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_vit_attention_layer_fused_matches_xla():
+    """The layer-fused entry (qkv GEMM + attention in one kernel) matches
+    the Dense+einsum path at module level, shares the same param tree, and
+    its over-VMEM fallback (packed entry on an XLA projection) agrees too."""
+    from infinite_video_tpu.ops.pallas.vit_attention import (
+        vit_attention_layer)
+
+    base = dict(img_size=28, patch_size=14, embed_dim=64, depth=1,
+                num_heads=4, mlp_hidden=128, dtype=jnp.float32, gelu="erf")
+    cfg_x = ViTConfig(**base)
+    cfg_l = ViTConfig(**base, attn_impl="pallas_layer", attn_interpret=True)
+    x = jax.random.normal(jax.random.PRNGKey(12), (2, 9, 64), jnp.float32)
+    params = ViTAttention(cfg_x).init(jax.random.PRNGKey(13), x)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(
+                ViTAttention(cfg_l).init(jax.random.PRNGKey(13), x)))
+    out_x = ViTAttention(cfg_x).apply(params, x)
+    out_l = ViTAttention(cfg_l).apply(params, x)
+    np.testing.assert_allclose(np.asarray(out_l), np.asarray(out_x),
+                               rtol=2e-5, atol=2e-5)
+    # direct-entry fallback: an S big enough that the fp32 qkv scratch
+    # exceeds the VMEM budget routes through the packed entry
+    s_big, h, hd = 1600, 4, 64
+    d_in = 256
+    key = jax.random.PRNGKey(14)
+    xb = jax.random.normal(key, (1, s_big, d_in), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(key, 1),
+                          (d_in, 3 * h * hd), jnp.float32) * 0.05
+    bias = jax.random.normal(jax.random.fold_in(key, 2),
+                             (3 * h * hd,), jnp.float32) * 0.05
+    out = vit_attention_layer(xb, w, bias, heads=h, interpret=True)
+    qkv = (xb @ w + bias).reshape(1, s_big, 3, h, hd)
+    a = jnp.einsum("bqhd,bkhd->bhqk", qkv[:, :, 0] * (hd ** -0.5),
+                   qkv[:, :, 1], preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(a, axis=-1).astype(jnp.float32)
+    ref = jnp.einsum("bhqk,bkhd->bqhd", p, qkv[:, :, 2])
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(ref.reshape(1, s_big, h * hd)),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_vit_attention_flash_impl_matches_xla():
     """attn_impl='flash' (the S=3136 UMT route) matches the XLA einsums at
     module level (interpret mode; fp32)."""
