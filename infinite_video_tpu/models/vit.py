@@ -69,11 +69,12 @@ class ViTConfig:
 
     def __post_init__(self):
         if self.attn_impl not in ("auto", "xla", "pallas", "pallas_direct",
-                                  "pallas_packed", "pallas_layer", "flash"):
+                                  "pallas_packed", "pallas_layer",
+                                  "pallas_layer_proj", "flash"):
             raise ValueError("ViTConfig.attn_impl must be 'auto', 'xla', "
                              "'pallas', 'pallas_direct', 'pallas_packed', "
-                             f"'pallas_layer' or 'flash', got "
-                             f"{self.attn_impl!r}")
+                             "'pallas_layer', 'pallas_layer_proj' or "
+                             f"'flash', got {self.attn_impl!r}")
 
     @property
     def gelu_approximate(self) -> bool:
@@ -169,6 +170,20 @@ class _QKVKernel(nn.Module):
                           (in_features, self.features))
 
 
+class _DenseParams(nn.Module):
+    """Parameter shim: declares kernel+bias at the SAME param path as
+    `nn.Dense(name=...)` so fused kernels that consume the projection
+    weights directly share checkpoints with every other impl."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        return (self.param("kernel", nn.initializers.lecun_normal(),
+                           (in_features, self.features)),
+                self.param("bias", nn.initializers.zeros, (self.features,)))
+
+
 class ViTAttention(nn.Module):
     """Fused-qkv attention with q/v-only bias (eva_vit.py:62-146, vit.py:57-101)."""
 
@@ -190,6 +205,30 @@ class ViTAttention(nn.Module):
             if (jax.default_backend() == "tpu"
                     and fits_vmem(x.shape[1], cfg.head_dim, x.dtype)):
                 impl0 = "pallas_layer"
+        if impl0 == "pallas_layer_proj":
+            # qkv GEMM + attention + out-projection in ONE kernel — neither
+            # the qkv activations nor the packed attention output
+            # round-trips HBM. Measured SLOWER than pallas_layer on EVA-g
+            # (docs/KERNELS.md §5c: -5.7%; the fold costs per-batch-element
+            # w_proj re-reads and evicts the residual-add from the proj
+            # GEMM's XLA fusion), so "auto" never picks it; kept as an
+            # explicit impl with the measurement on the record. Params are
+            # declared at the nn.Dense "qkv"/"proj" paths, so checkpoints
+            # interchange with every other impl.
+            from infinite_video_tpu.ops.pallas.vit_attention import (
+                vit_attention_layer_proj)
+
+            w = _QKVKernel(3 * d, name="qkv")(x.shape[-1])
+            q_bias = self.param("q_bias", nn.initializers.zeros, (d,))
+            v_bias = self.param("v_bias", nn.initializers.zeros, (d,))
+            bias = jnp.concatenate([q_bias, jnp.zeros_like(q_bias), v_bias])
+            w_p, b_p = _DenseParams(d, name="proj")(d)
+            return vit_attention_layer_proj(
+                x.astype(cfg.dtype), w.astype(cfg.dtype),
+                bias.astype(jnp.float32), w_p.astype(cfg.dtype),
+                b_p.astype(jnp.float32), heads=cfg.num_heads,
+                sm_scale=cfg.head_dim ** -0.5,
+                interpret=cfg.attn_interpret)
         if impl0 == "pallas_layer":
             # fused qkv-GEMM + attention in ONE kernel: the projection never
             # round-trips HBM and there is no custom-call boundary for XLA

@@ -35,7 +35,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["vit_attention", "vit_attention_qkv", "vit_attention_qkv_direct",
-           "vit_attention_qkv_packed", "vit_attention_layer", "fits_vmem"]
+           "vit_attention_qkv_packed", "vit_attention_layer",
+           "vit_attention_layer_proj", "fits_vmem"]
 
 _NEG_INF = -1e30
 
@@ -460,4 +461,139 @@ def vit_attention_layer(x: jnp.ndarray, w_qkv: jnp.ndarray,
         scratch_shapes=[pltpu.VMEM((s, three_hd), jnp.float32)],
         interpret=interpret,
     )(x, w_qkv, b_qkv[None])
+    return out
+
+
+def _kernel_layer_proj(x_ref, wq_ref, bq_ref, wp_ref, bp_ref, o_ref,
+                       qkv_scr, att_scr, *, sm_scale: float, heads: int,
+                       head_dim: int, n_wblocks: int):
+    """Two-phase grid row: qkv-GEMM accumulate, attention, then blocked
+    out-projection — the whole attention sub-layer in one kernel.
+
+    Grid (B, n_wblocks + n_pblocks), inner axis sequential: steps
+    j < n_wblocks contract the [S, D] activation against one [D, bn]
+    column block of the fused qkv weight into the persistent fp32
+    [S, 3·H·hd] scratch; the LAST qkv step adds the bias and runs the
+    per-head (dot, softmax, dot) chains into the packed [S, H·hd]
+    attention scratch; steps j >= n_wblocks each contract that scratch
+    against one [H·hd, bp] column block of the projection weight and
+    store one [S, bp] output column block. Neither the qkv activations
+    nor the packed attention output ever round-trips HBM, and XLA sees
+    no custom-call boundary anywhere inside the attention sub-layer."""
+    j = pl.program_id(1)
+    bn = wq_ref.shape[1]
+
+    @pl.when(j == 0)
+    def _init():
+        qkv_scr[:] = jnp.zeros_like(qkv_scr)
+
+    @pl.when(j < n_wblocks)
+    def _accum():
+        x = x_ref[0]                                   # [S, D]
+        acc = jax.lax.dot_general(
+            x, wq_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [S, bn]
+        qkv_scr[:, pl.ds(jnp.minimum(j, n_wblocks - 1) * bn, bn)] = acc
+
+    @pl.when(j == n_wblocks - 1)
+    def _attend():
+        qkv = qkv_scr[:] + bq_ref[0].astype(jnp.float32)  # [S, 3·H·hd]
+        for i in range(heads):
+            q = qkv[:, i * head_dim:(i + 1) * head_dim]
+            k = qkv[:, (heads + i) * head_dim:(heads + i + 1) * head_dim]
+            v = qkv[:, (2 * heads + i) * head_dim:
+                    (2 * heads + i + 1) * head_dim]
+            s = jax.lax.dot_general(
+                q * jnp.float32(sm_scale), k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            r = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(att_scr.dtype), v.astype(att_scr.dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            att_scr[:, i * head_dim:(i + 1) * head_dim] = (
+                o * r).astype(att_scr.dtype)
+
+    @pl.when(j >= n_wblocks)
+    def _project():
+        prj = jax.lax.dot_general(
+            att_scr[:], wp_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [S, bp]
+        o_ref[0] = (prj + bp_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "sm_scale", "block_n",
+                                             "interpret"))
+def vit_attention_layer_proj(x: jnp.ndarray, w_qkv: jnp.ndarray,
+                             b_qkv: jnp.ndarray, w_proj: jnp.ndarray,
+                             b_proj: jnp.ndarray, *, heads: int,
+                             sm_scale: float | None = None,
+                             block_n: int = 528,
+                             interpret: bool = False) -> jnp.ndarray:
+    """Whole attention sub-layer in one kernel: x [B, S, D] (post-LN),
+    w_qkv [D, 3·H·hd], b_qkv [3·H·hd], w_proj [H·hd, D_out],
+    b_proj [D_out] -> projected output [B, S, D_out].
+
+    Extends vit_attention_layer with the out-projection GEMM — the
+    "mega-kernel second half" named in docs/KERNELS.md §5b: the packed
+    attention output stays in VMEM scratch and the projection streams
+    [H·hd, bp] weight column blocks per grid step, so the inter-GEMM
+    custom-call boundary AND the packed [S, H·hd] HBM round-trip both
+    disappear. Projection numerics match nn.Dense(dtype=x.dtype): bf16
+    operands, fp32 accumulation, bias added in fp32."""
+    b, s, d = x.shape
+    three_hd = w_qkv.shape[1]
+    head_dim = three_hd // (3 * heads)
+    d_out = w_proj.shape[1]
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(head_dim)
+    elt = jnp.dtype(x.dtype).itemsize
+    s_p = -(-s // 16) * 16
+    # VMEM budget: fp32 qkv scratch + packed attention scratch + ~2 live
+    # fp32 score tiles + x/w/out blocks. Past it: the layer entry (which
+    # has its own fallback ladder) plus an XLA projection.
+    live = (s_p * three_hd * 4 + s_p * heads * head_dim * elt
+            + 2 * s_p * s_p * 4 + s_p * (d + d_out) * elt)
+    if live > 11 * 1024 * 1024:
+        out = vit_attention_layer(x, w_qkv, b_qkv, heads=heads,
+                                  sm_scale=sm_scale, interpret=interpret)
+        return (jnp.dot(out, w_proj.astype(out.dtype),
+                        preferred_element_type=jnp.float32)
+                + b_proj.astype(jnp.float32)).astype(x.dtype)
+    cands = [n for n in range(128, min(block_n, three_hd) + 1, 128)
+             if three_hd % n == 0]
+    bn = max(cands) if cands else three_hd
+    n_wblocks = three_hd // bn
+    pcands = [n for n in range(128, min(block_n, d_out) + 1, 128)
+              if d_out % n == 0]
+    bp = max(pcands) if pcands else d_out
+    n_pblocks = d_out // bp
+
+    kernel = functools.partial(_kernel_layer_proj, sm_scale=sm_scale,
+                               heads=heads, head_dim=head_dim,
+                               n_wblocks=n_wblocks)
+    nw = n_wblocks
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_wblocks + n_pblocks),
+        in_specs=[
+            pl.BlockSpec((1, s, d), lambda bi, j: (bi, 0, 0)),
+            pl.BlockSpec((d, bn),
+                         lambda bi, j: (0, jnp.minimum(j, nw - 1))),
+            pl.BlockSpec((1, three_hd), lambda bi, j: (0, 0)),
+            pl.BlockSpec((heads * head_dim, bp),
+                         lambda bi, j: (0, jnp.maximum(j - nw, 0))),
+            pl.BlockSpec((1, bp),
+                         lambda bi, j: (0, jnp.maximum(j - nw, 0))),
+        ],
+        out_specs=pl.BlockSpec((1, s, bp),
+                               lambda bi, j: (bi, 0,
+                                              jnp.maximum(j - nw, 0))),
+        out_shape=jax.ShapeDtypeStruct((b, s, d_out), x.dtype),
+        scratch_shapes=[pltpu.VMEM((s, three_hd), jnp.float32),
+                        pltpu.VMEM((s, heads * head_dim), x.dtype)],
+        interpret=interpret,
+    )(x, w_qkv, b_qkv[None], w_proj, b_proj[None])
     return out

@@ -154,6 +154,53 @@ def test_vit_attention_layer_fused_matches_xla():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_vit_attention_layer_proj_matches_xla():
+    """The full sub-layer entry (qkv GEMM + attention + out-projection in
+    one kernel) matches the Dense+einsum path at module level, shares the
+    same param tree, and the over-VMEM fallback (layer entry + XLA
+    projection) agrees too."""
+    from infinite_video_tpu.ops.pallas.vit_attention import (
+        vit_attention_layer_proj)
+
+    base = dict(img_size=28, patch_size=14, embed_dim=64, depth=1,
+                num_heads=4, mlp_hidden=128, dtype=jnp.float32, gelu="erf")
+    cfg_x = ViTConfig(**base)
+    cfg_l = ViTConfig(**base, attn_impl="pallas_layer_proj",
+                      attn_interpret=True)
+    x = jax.random.normal(jax.random.PRNGKey(21), (2, 9, 64), jnp.float32)
+    params = ViTAttention(cfg_x).init(jax.random.PRNGKey(22), x)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(
+                ViTAttention(cfg_l).init(jax.random.PRNGKey(22), x)))
+    out_x = ViTAttention(cfg_x).apply(params, x)
+    out_l = ViTAttention(cfg_l).apply(params, x)
+    np.testing.assert_allclose(np.asarray(out_l), np.asarray(out_x),
+                               rtol=2e-5, atol=2e-5)
+    # over-VMEM fallback: big S routes layer-entry + XLA projection
+    s_big, h, hd = 1600, 4, 64
+    d_in = 256
+    key = jax.random.PRNGKey(23)
+    xb = jax.random.normal(key, (1, s_big, d_in), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(key, 1),
+                          (d_in, 3 * h * hd), jnp.float32) * 0.05
+    bias = jax.random.normal(jax.random.fold_in(key, 2),
+                             (3 * h * hd,), jnp.float32) * 0.05
+    w_p = jax.random.normal(jax.random.fold_in(key, 3),
+                            (h * hd, d_in), jnp.float32) * 0.05
+    b_p = jax.random.normal(jax.random.fold_in(key, 4),
+                            (d_in,), jnp.float32) * 0.05
+    out = vit_attention_layer_proj(xb, w, bias, w_p, b_p, heads=h,
+                                   interpret=True)
+    qkv = (xb @ w + bias).reshape(1, s_big, 3, h, hd)
+    a = jnp.einsum("bqhd,bkhd->bhqk", qkv[:, :, 0] * (hd ** -0.5),
+                   qkv[:, :, 1], preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(a, axis=-1).astype(jnp.float32)
+    att = jnp.einsum("bhqk,bkhd->bqhd", p, qkv[:, :, 2])
+    ref = att.reshape(1, s_big, h * hd) @ w_p + b_p
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_vit_attention_flash_impl_matches_xla():
     """attn_impl='flash' (the S=3136 UMT route) matches the XLA einsums at
     module level (interpret mode; fp32)."""

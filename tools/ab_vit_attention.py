@@ -98,8 +98,12 @@ def main():
     fd = timed("vit full attn=pallas_direct", vit_stream("pallas_direct"), n)
     fk = timed("vit full attn=pallas_packed", vit_stream("pallas_packed"), n)
     fl = timed("vit full attn=pallas_layer", vit_stream("pallas_layer"), n)
+    fq = timed("vit full attn=pallas_layer_proj",
+               vit_stream("pallas_layer_proj"), n)
     print(f"layer-fused: {CHUNK/fl:.1f} f/s ({(fx/fl-1)*100:+.1f}% vs xla, "
           f"{(fk/fl-1)*100:+.1f}% vs packed)", flush=True)
+    print(f"layer+proj:  {CHUNK/fq:.1f} f/s ({(fx/fq-1)*100:+.1f}% vs xla, "
+          f"{(fl/fq-1)*100:+.1f}% vs layer)", flush=True)
     print(f"e2e: xla {CHUNK/fx:.1f} f/s vs pallas {CHUNK/fp:.1f} "
           f"({(fx/fp-1)*100:+.1f}%) vs direct {CHUNK/fd:.1f} f/s "
           f"({(fx/fd-1)*100:+.1f}%) vs packed {CHUNK/fk:.1f} f/s "
