@@ -56,14 +56,14 @@ class ViTConfig:
     # (ops/pallas/vit_attention.py whole-row kernels), or "flash"
     # (ops/pallas/flash_attention.py, causal=False — the S=3136 16-frame UMT
     # geometry where the whole-row [S,S] scores exceed VMEM).
-    # Measured on v5e (tools/ab_vit_attention.py, round-4 A/B in
-    # docs/KERNELS.md): the whole-row kernel wins the full EVA-g forward by
-    # 2-4% in every paired run (e.g. 17.7 vs 18.4 ms per 8-frame chunk) even
-    # though the ISOLATED attention op slightly favors XLA — in-model the
-    # kernel's single fused dispatch per layer wins on layout/overlap.
-    # Round-5 A/B (tools/ab_umt_attention.py, KERNELS.md §6): at the UMT
-    # S=3136 geometry the non-causal flash kernel vs XLA decides the auto
-    # route below.
+    # Measured on v5e (tools/ab_vit_attention.py, round-5 A/Bs in
+    # docs/KERNELS.md §5b/§5c): "auto" routes fits_vmem geometries to the
+    # layer-fused kernel (qkv GEMM + attention in one Pallas call — full
+    # EVA-g forward 28.9-29.0 ms vs 33.7 XLA, +16%, wins every paired run);
+    # the out-projection fold beyond it was measured SLOWER (-5.7%, §5c)
+    # and stays an explicit impl only. S>VMEM geometries (16-frame UMT,
+    # S=3136) take the non-causal flash kernel, which wins its A/B by ~25%
+    # of the whole forward (tools/ab_umt_attention.py, KERNELS.md §6).
     attn_impl: str = "auto"
     attn_interpret: bool = False      # test hook for the Pallas path
 
